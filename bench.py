@@ -1,0 +1,66 @@
+"""Benchmark: points/s/chip on the flagship train step (fwd+bwd).
+
+Measures the BASELINE.json metric — "points/s/chip (voxelize+splat+loss
+fwd/bwd)" — on the KITTI PointPillars + KLD GDLoss config: dynamic
+voxelization, pillar encoder, BEV scatter, SECOND+FPN, anchor targets,
+Gaussian-distance loss, backward, AdamW update.  Prints ONE JSON line.
+
+vs_baseline: ratio vs the A100 CUDA reference throughput.  The reference
+repo publishes no throughput numbers (SURVEY.md §6) and no GPU is attached
+here, so we report against the recorded provisional constant below (null
+until a measured CUDA number lands in BASELINE.md).
+"""
+import json
+import time
+
+import numpy as np
+
+A100_BASELINE_POINTS_PER_S = None  # no published/measured CUDA number yet
+
+
+def main():
+    import jax
+    from mmdet3d_gaussian_tpu.engine.detector import (PointPillarsDetector,
+                                                      synthetic_batch)
+    from mmdet3d_gaussian_tpu.parallel import train_state as ts
+
+    batch_size = 4
+    num_points = 16384
+
+    det = PointPillarsDetector()
+    batch = synthetic_batch(batch_size=batch_size, num_points=num_points,
+                            num_gt=16)
+    variables = det.init(jax.random.PRNGKey(0), batch)
+    opt = ts.make_optimizer(1e-3, total_steps=1000)
+    state = ts.init_state(variables['params'], variables['batch_stats'], opt)
+
+    def apply_fn(vs, b, train):
+        return det.apply_train(vs, b)
+
+    step = jax.jit(ts.make_train_step(apply_fn, det.loss, opt),
+                   donate_argnums=(0,))
+
+    # compile + warmup
+    state, metrics = step(state, batch)
+    jax.block_until_ready(metrics)
+
+    iters = 20
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, metrics = step(state, batch)
+    jax.block_until_ready(metrics)
+    dt = time.perf_counter() - t0
+
+    points_per_s = batch_size * num_points * iters / dt
+    vs = (points_per_s / A100_BASELINE_POINTS_PER_S
+          if A100_BASELINE_POINTS_PER_S else None)
+    print(json.dumps({
+        'metric': 'points/s/chip (voxelize+splat+loss fwd/bwd)',
+        'value': round(points_per_s, 1),
+        'unit': 'points/s',
+        'vs_baseline': vs,
+    }))
+
+
+if __name__ == '__main__':
+    main()

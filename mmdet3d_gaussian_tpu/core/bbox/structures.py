@@ -1,0 +1,174 @@
+"""3D box structures and geometry, pure JAX.
+
+TPU-native replacement for the mmdet3d box utilities the reference leans on
+(``LiDARInstance3DBoxes``, ``rotation_3d_in_axis``, ``xywhr2xyxyr``,
+``limit_period`` — referenced from e.g.
+``/root/reference/configs/_base_/models/hv_pointpillars_secfpn_kitti.py:22-51``).
+
+Convention (LiDAR frame, matching mmdet3d):
+    box = (x, y, z, dx, dy, dz, yaw[, vx, vy ...])
+    * (x, y, z) is the BOTTOM center of the box,
+    * (dx, dy) are the BEV extents, dz the vertical extent,
+    * yaw rotates around +z, measured from +x axis.
+
+Everything is functional: boxes are plain ``(..., 7+)`` arrays, no classes.
+All functions are jit/vmap-safe (static shapes, branch-free).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def limit_period(val, offset: float = 0.5, period: float = np.pi):
+    """Map angle into [-offset*period, (1-offset)*period)."""
+    return val - jnp.floor(val / period + offset) * period
+
+
+def gravity_center(boxes):
+    """Bottom-center box -> gravity (geometric) center ``(..., 3)``."""
+    return jnp.stack([boxes[..., 0], boxes[..., 1],
+                      boxes[..., 2] + 0.5 * boxes[..., 5]], axis=-1)
+
+
+def rotation_2d(points, angle):
+    """Rotate ``(..., 2)`` points by ``angle`` (broadcastable) around origin."""
+    c, s = jnp.cos(angle), jnp.sin(angle)
+    x, y = points[..., 0], points[..., 1]
+    return jnp.stack([c * x - s * y, s * x + c * y], axis=-1)
+
+
+def rotation_3d_in_axis(points, angle, axis: int = 2):
+    """Rotate ``(..., 3)`` points around one coordinate axis."""
+    c, s = jnp.cos(angle), jnp.sin(angle)
+    x, y, z = points[..., 0], points[..., 1], points[..., 2]
+    if axis == 2:
+        return jnp.stack([c * x - s * y, s * x + c * y, z], axis=-1)
+    if axis == 0:
+        return jnp.stack([x, c * y - s * z, s * y + c * z], axis=-1)
+    if axis == 1:
+        return jnp.stack([c * x + s * z, y, -s * x + c * z], axis=-1)
+    raise ValueError(f'axis must be 0/1/2, got {axis}')
+
+
+# Unit-square corner template in (x, y) BEV, counter-clockwise.
+_BEV_CORNER_TEMPLATE = np.array(
+    [[-0.5, -0.5], [-0.5, 0.5], [0.5, 0.5], [0.5, -0.5]], dtype=np.float32)
+
+
+def corners_bev(boxes):
+    """BEV corners of rotated boxes.
+
+    Args:
+        boxes: ``(..., 5+)`` as (x, y, dx, dy, yaw) — or pass a 7-dim box
+            through :func:`bev` first.
+    Returns:
+        ``(..., 4, 2)`` corner coordinates, counter-clockwise.
+    """
+    ctr = boxes[..., None, 0:2]
+    dims = boxes[..., None, 2:4]
+    yaw = boxes[..., None, 4]
+    corners = jnp.asarray(_BEV_CORNER_TEMPLATE) * dims
+    return rotation_2d(corners, yaw) + ctr
+
+
+def bev(boxes):
+    """7-dim box -> (x, y, dx, dy, yaw) BEV box."""
+    return jnp.concatenate([boxes[..., 0:2], boxes[..., 3:5],
+                            boxes[..., 6:7]], axis=-1)
+
+
+def corners_3d(boxes):
+    """All 8 corners of bottom-centered 7-dim boxes -> ``(..., 8, 3)``.
+
+    Corner order: bottom face CCW then top face CCW (matching the BEV
+    template), in the box's yaw-rotated frame.
+    """
+    dims = boxes[..., None, 3:6]
+    tmpl2 = jnp.asarray(_BEV_CORNER_TEMPLATE)
+    tmpl = jnp.concatenate([
+        jnp.concatenate([tmpl2, jnp.zeros((4, 1), tmpl2.dtype)], axis=-1),
+        jnp.concatenate([tmpl2, jnp.ones((4, 1), tmpl2.dtype)], axis=-1),
+    ], axis=0)  # (8, 3), z in [0, 1] (bottom-centered)
+    corners = tmpl * dims
+    corners = rotation_3d_in_axis(corners, boxes[..., None, 6], axis=2)
+    return corners + boxes[..., None, 0:3]
+
+
+def xywhr2xyxyr(boxes_xywhr):
+    """Rotated BEV box -> axis-aligned 'nearest' box (xyxy, keeps r).
+
+    Mirrors mmdet3d's xywhr2xyxyr used for nearest-BEV IoU assignment
+    (reference config ``hv_pointpillars_secfpn_kitti.py`` assigners use
+    ``BboxOverlapsNearest3D``).
+    """
+    half = boxes_xywhr[..., 2:4] / 2
+    return jnp.concatenate([
+        boxes_xywhr[..., 0:2] - half,
+        boxes_xywhr[..., 0:2] + half,
+        boxes_xywhr[..., 4:5],
+    ], axis=-1)
+
+
+def nearest_bev(boxes):
+    """7-dim boxes -> axis-aligned BEV boxes (x1, y1, x2, y2).
+
+    The rotated box is snapped to the nearest axis-aligned orientation
+    (yaw rounded to multiples of pi/2, swapping dx/dy on odd multiples),
+    matching mmdet3d ``LiDARInstance3DBoxes.nearest_bev``.
+    """
+    bev_boxes = bev(boxes)
+    yaw = limit_period(bev_boxes[..., 4], 0.5, np.pi)
+    swap = jnp.abs(yaw) > np.pi / 4
+    dx = jnp.where(swap, bev_boxes[..., 3], bev_boxes[..., 2])
+    dy = jnp.where(swap, bev_boxes[..., 2], bev_boxes[..., 3])
+    half = jnp.stack([dx, dy], axis=-1) / 2
+    return jnp.concatenate([bev_boxes[..., 0:2] - half,
+                            bev_boxes[..., 0:2] + half], axis=-1)
+
+
+def iou_aligned_2d(boxes1, boxes2, eps: float = 1e-6, mode: str = 'iou'):
+    """Pairwise IoU of axis-aligned (x1,y1,x2,y2) boxes: (N,4)x(M,4)->(N,M)."""
+    area1 = ((boxes1[:, 2] - boxes1[:, 0]) * (boxes1[:, 3] - boxes1[:, 1]))
+    area2 = ((boxes2[:, 2] - boxes2[:, 0]) * (boxes2[:, 3] - boxes2[:, 1]))
+    lt = jnp.maximum(boxes1[:, None, :2], boxes2[None, :, :2])
+    rb = jnp.minimum(boxes1[:, None, 2:], boxes2[None, :, 2:])
+    wh = jnp.clip(rb - lt, 0)
+    inter = wh[..., 0] * wh[..., 1]
+    if mode == 'iou':
+        denom = area1[:, None] + area2[None, :] - inter
+    elif mode == 'iof':
+        denom = area1[:, None]
+    else:
+        raise ValueError(mode)
+    return inter / jnp.maximum(denom, eps)
+
+
+def points_in_boxes_bev(points_xy, boxes):
+    """Which BEV points fall inside which rotated boxes.
+
+    Args:
+        points_xy: ``(P, 2)``.
+        boxes: ``(B, 7)`` bottom-centered boxes (z ignored — the z-extruded
+            semantics of the reference's ``points_in_boxes_all`` usage in
+            ``sim_ota_3d_assigner.py:158-182``).
+    Returns:
+        ``(P, B)`` bool.
+    """
+    d = points_xy[:, None, :] - boxes[None, :, 0:2]
+    yaw = boxes[None, :, 6]
+    c, s = jnp.cos(yaw), jnp.sin(yaw)
+    # Rotate the offset into the box frame (inverse rotation).
+    local_x = c * d[..., 0] + s * d[..., 1]
+    local_y = -s * d[..., 0] + c * d[..., 1]
+    return ((jnp.abs(local_x) <= boxes[None, :, 3] / 2) &
+            (jnp.abs(local_y) <= boxes[None, :, 4] / 2))
+
+
+def points_in_boxes_3d(points, boxes):
+    """``(P, 3)`` x ``(B, 7)`` -> ``(P, B)`` bool, full 3D membership."""
+    in_bev = points_in_boxes_bev(points[:, 0:2], boxes)
+    z0 = boxes[None, :, 2]
+    z1 = z0 + boxes[None, :, 5]
+    in_z = (points[:, None, 2] >= z0) & (points[:, None, 2] <= z1)
+    return in_bev & in_z

@@ -1,0 +1,126 @@
+"""Zero-copy shared annotation store over /dev/shm.
+
+Re-provision of the reference's host-local shared data plane
+(``/root/reference/mmdet3d_gaussian/datasets/mem_util.py:13-124``): one
+process pickles list elements into a shared-memory blob + int64 offset index;
+every other process (dataloader workers, other local ranks) mmaps it
+read-only and unpickles per ``__getitem__``.  The reference gates on
+``torch.distributed`` rank + barrier; here the writer/reader handshake is a
+file-based protocol (atomic rename), so it works with any process launcher
+(including ``jax.distributed`` multi-host where each host has its own shm).
+"""
+from __future__ import annotations
+
+import mmap
+import os
+import pickle
+import tempfile
+import time
+from typing import Dict, List, Optional, Sequence
+
+_SHM_DIR = '/dev/shm' if os.path.isdir('/dev/shm') else tempfile.gettempdir()
+
+
+class SharedList:
+    """Immutable list shared across processes via mmap.
+
+    If ``data`` is given this process materializes the blob; otherwise it
+    attaches to an existing one by name (blocking up to ``timeout`` s).
+    """
+
+    def __init__(self, data: Optional[Sequence] = None,
+                 name: Optional[str] = None, timeout: float = 60.0):
+        if name is None:
+            name = f'm3dg_tpu_list_{os.getpid()}_{id(self)}'
+        self.name = name
+        self._blob_path = os.path.join(_SHM_DIR, name + '.bin')
+        self._idx_path = os.path.join(_SHM_DIR, name + '.idx')
+
+        if data is not None:
+            self._write(data)
+        else:
+            self._wait_ready(timeout)
+        self._attach()
+
+    def _write(self, data: Sequence):
+        import numpy as np
+        offsets = [0]
+        tmp_blob = self._blob_path + '.tmp'
+        with open(tmp_blob, 'wb') as f:
+            for item in data:
+                buf = pickle.dumps(item, protocol=pickle.HIGHEST_PROTOCOL)
+                f.write(buf)
+                offsets.append(offsets[-1] + len(buf))
+        tmp_idx = self._idx_path + '.tmp'
+        np.asarray(offsets, dtype=np.int64).tofile(tmp_idx)
+        os.rename(tmp_blob, self._blob_path)
+        os.rename(tmp_idx, self._idx_path)   # atomic publish
+
+    def _wait_ready(self, timeout: float):
+        t0 = time.time()
+        while not (os.path.exists(self._idx_path)
+                   and os.path.exists(self._blob_path)):
+            if time.time() - t0 > timeout:
+                raise TimeoutError(f'shared list {self.name} never appeared')
+            time.sleep(0.05)
+
+    def _attach(self):
+        import numpy as np
+        self._offsets = np.fromfile(self._idx_path, dtype=np.int64)
+        size = max(int(self._offsets[-1]), 1)
+        f = open(self._blob_path, 'rb')
+        self._mm = mmap.mmap(f.fileno(), size, access=mmap.ACCESS_READ)
+        f.close()
+
+    def __len__(self) -> int:
+        return len(self._offsets) - 1
+
+    def __getitem__(self, i: int):
+        lo, hi = int(self._offsets[i]), int(self._offsets[i + 1])
+        return pickle.loads(self._mm[lo:hi])
+
+    def __getstate__(self):
+        # workers re-attach by name after fork/spawn
+        return dict(name=self.name)
+
+    def __setstate__(self, state):
+        self.__init__(data=None, name=state['name'])
+
+    def cleanup(self):
+        for p in (self._blob_path, self._idx_path):
+            try:
+                os.remove(p)
+            except OSError:
+                pass
+
+
+class SharedDictOfList:
+    """dict[str, list] facade over per-key SharedLists (reference
+    ``SharedDictOfList``, ``mem_util.py:102-124``)."""
+
+    def __init__(self, data: Optional[Dict[str, List]] = None,
+                 name: Optional[str] = None):
+        if name is None:
+            name = f'm3dg_tpu_dict_{os.getpid()}_{id(self)}'
+        self.name = name
+        if data is not None:
+            self._keys = SharedList([list(data.keys())], name=name + '_keys')
+            self._lists = {k: SharedList(v, name=f'{name}_{i}')
+                           for i, (k, v) in enumerate(data.items())}
+        else:
+            self._keys = SharedList(name=name + '_keys')
+            keys = self._keys[0]
+            self._lists = {k: SharedList(name=f'{name}_{i}')
+                           for i, k in enumerate(keys)}
+
+    def keys(self):
+        return self._lists.keys()
+
+    def items(self):
+        return self._lists.items()
+
+    def __getitem__(self, k):
+        return self._lists[k]
+
+    def __contains__(self, k):
+        return k in self._lists

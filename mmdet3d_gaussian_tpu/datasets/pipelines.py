@@ -1,0 +1,289 @@
+"""Data pipeline transforms (NumPy, host-side).
+
+Re-provision of the reference's pipeline layer
+(``/root/reference/mmdet3d_gaussian/datasets/pipelines/``) plus the upstream
+mmdet3d transforms its configs compose
+(``configs/_base_/datasets/kitti-3d-3class.py``): loading, GT-database
+sampling hook, flip/rot/scale augmentation, range filters, shuffle, and the
+repo's own ``NormalizeIntensityTanh`` / ``LabelIDMap`` / tolerant loader.
+
+Every transform is a callable on a results dict with keys:
+    points (N, C) float32; gt_bboxes (G, 7[+]) float32; gt_labels (G,) int64
+and composes via :class:`Compose`.  The final ``Pad3D`` produces the
+static-shape arrays the jitted train step consumes.
+"""
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from ..registry import PIPELINES
+from ..core.bbox.structures import limit_period
+
+
+@PIPELINES.register_module()
+class Compose:
+    def __init__(self, transforms: Sequence):
+        self.transforms = [PIPELINES.build(t) if isinstance(t, dict) else t
+                           for t in transforms]
+
+    def __call__(self, results: Dict) -> Optional[Dict]:
+        for t in self.transforms:
+            results = t(results)
+            if results is None:
+                return None
+        return results
+
+
+@PIPELINES.register_module()
+class LoadPointsFromFile:
+    """Tolerant point loading: .npy or raw float32 .bin fallback (reference
+    ``datasets/pipelines/loading.py:7-30``)."""
+
+    def __init__(self, load_dim: int = 4, use_dim=4, coord_type='LIDAR'):
+        self.load_dim = load_dim
+        self.use_dim = list(range(use_dim)) if isinstance(use_dim, int) \
+            else list(use_dim)
+
+    def __call__(self, results):
+        path = results['pts_filename']
+        if path.endswith('.npy'):
+            points = np.load(path)
+        else:
+            try:
+                points = np.fromfile(path, dtype=np.float32)
+            except Exception:
+                points = np.load(path, allow_pickle=True)
+        points = points.reshape(-1, self.load_dim)[:, self.use_dim]
+        results['points'] = points.astype(np.float32)
+        return results
+
+
+@PIPELINES.register_module()
+class PointsRangeFilter:
+    def __init__(self, point_cloud_range):
+        self.pcr = np.asarray(point_cloud_range, np.float32)
+
+    def __call__(self, results):
+        p = results['points']
+        m = ((p[:, 0] >= self.pcr[0]) & (p[:, 0] < self.pcr[3])
+             & (p[:, 1] >= self.pcr[1]) & (p[:, 1] < self.pcr[4])
+             & (p[:, 2] >= self.pcr[2]) & (p[:, 2] < self.pcr[5]))
+        results['points'] = p[m]
+        return results
+
+
+@PIPELINES.register_module()
+class ObjectRangeFilter:
+    """Drop GT boxes whose BEV center leaves the range; wrap yaw."""
+
+    def __init__(self, point_cloud_range):
+        self.pcr = np.asarray(point_cloud_range, np.float32)
+
+    def __call__(self, results):
+        gt = results['gt_bboxes']
+        m = ((gt[:, 0] >= self.pcr[0]) & (gt[:, 0] < self.pcr[3])
+             & (gt[:, 1] >= self.pcr[1]) & (gt[:, 1] < self.pcr[4]))
+        results['gt_bboxes'] = gt[m]
+        results['gt_labels'] = results['gt_labels'][m]
+        results['gt_bboxes'][:, 6] = np.asarray(
+            limit_period(results['gt_bboxes'][:, 6], 0.5, 2 * np.pi))
+        return results
+
+
+@PIPELINES.register_module()
+class PointShuffle:
+    def __init__(self, seed: Optional[int] = None):
+        self.rng = np.random.RandomState(seed)
+
+    def __call__(self, results):
+        perm = self.rng.permutation(len(results['points']))
+        results['points'] = results['points'][perm]
+        return results
+
+
+@PIPELINES.register_module()
+class RandomFlip3D:
+    """BEV flip along y (and optionally x), applied to points + boxes."""
+
+    def __init__(self, flip_ratio_bev_horizontal: float = 0.5,
+                 flip_ratio_bev_vertical: float = 0.0,
+                 seed: Optional[int] = None):
+        self.ratio_h = flip_ratio_bev_horizontal
+        self.ratio_v = flip_ratio_bev_vertical
+        self.rng = np.random.RandomState(seed)
+
+    def __call__(self, results):
+        if self.rng.rand() < self.ratio_h:    # flip y
+            results['points'][:, 1] *= -1
+            gt = results['gt_bboxes']
+            gt[:, 1] *= -1
+            gt[:, 6] = -gt[:, 6]
+        if self.rng.rand() < self.ratio_v:    # flip x
+            results['points'][:, 0] *= -1
+            gt = results['gt_bboxes']
+            gt[:, 0] *= -1
+            gt[:, 6] = np.pi - gt[:, 6]
+        return results
+
+
+@PIPELINES.register_module()
+class GlobalRotScaleTrans:
+    def __init__(self, rot_range=(-0.78539816, 0.78539816),
+                 scale_ratio_range=(0.95, 1.05),
+                 translation_std=(0., 0., 0.), seed: Optional[int] = None):
+        self.rot_range = rot_range
+        self.scale_range = scale_ratio_range
+        self.trans_std = np.asarray(translation_std, np.float32)
+        self.rng = np.random.RandomState(seed)
+
+    def __call__(self, results):
+        angle = self.rng.uniform(*self.rot_range)
+        scale = self.rng.uniform(*self.scale_range)
+        trans = self.rng.randn(3).astype(np.float32) * self.trans_std
+        c, s = np.cos(angle), np.sin(angle)
+        rot = np.array([[c, -s], [s, c]], np.float32)
+
+        p = results['points']
+        p[:, 0:2] = p[:, 0:2] @ rot.T
+        p[:, 0:3] = p[:, 0:3] * scale + trans
+        gt = results['gt_bboxes']
+        gt[:, 0:2] = gt[:, 0:2] @ rot.T
+        gt[:, 0:3] = gt[:, 0:3] * scale + trans
+        gt[:, 3:6] *= scale
+        gt[:, 6] += angle
+        if gt.shape[1] > 7:       # velocities
+            gt[:, 7:9] = gt[:, 7:9] @ rot.T * scale
+        return results
+
+
+@PIPELINES.register_module()
+class NormalizeIntensityTanh:
+    """intensity -> post_gain * tanh(pre_gain * i) (reference
+    ``transfroms_3d.py:6-28``)."""
+
+    def __init__(self, pre_gain: float = 1.0, post_gain: float = 1.0,
+                 intensity_dim: int = 3):
+        self.pre_gain, self.post_gain = pre_gain, post_gain
+        self.dim = intensity_dim
+
+    def __call__(self, results):
+        p = results['points']
+        p[:, self.dim] = self.post_gain * np.tanh(self.pre_gain
+                                                  * p[:, self.dim])
+        return results
+
+
+@PIPELINES.register_module()
+class LabelIDMap:
+    """Remap label ids (reference ``transfroms_3d.py:31-64``)."""
+
+    def __init__(self, mapping: Dict[int, int]):
+        self.mapping = dict(mapping)
+
+    def __call__(self, results):
+        lab = results['gt_labels']
+        out = np.array([self.mapping.get(int(l), -1) for l in lab],
+                       dtype=np.int64)
+        keep = out >= 0
+        results['gt_labels'] = out[keep]
+        results['gt_bboxes'] = results['gt_bboxes'][keep]
+        return results
+
+
+@PIPELINES.register_module()
+class ObjectSample:
+    """GT-database copy-paste hook (reference ``ObjectSampleRev``,
+    ``transfroms_3d.py:67-158``): delegates to a DataBaseSampler instance."""
+
+    def __init__(self, db_sampler, use_ground_plane: bool = False):
+        from .dbsampler import DataBaseSampler
+        if isinstance(db_sampler, dict):
+            db_sampler = DataBaseSampler(**{k: v for k, v in
+                                            db_sampler.items()
+                                            if k != 'type'})
+        self.db_sampler = db_sampler
+        self.use_ground_plane = use_ground_plane
+
+    def __call__(self, results):
+        plane = results.get('plane') if self.use_ground_plane else None
+        sampled = self.db_sampler.sample_all(
+            results['gt_bboxes'], results['gt_labels'], ground_plane=plane)
+        if sampled is None:
+            return results
+        results['gt_bboxes'] = np.concatenate(
+            [results['gt_bboxes'], sampled['gt_bboxes']], 0)
+        results['gt_labels'] = np.concatenate(
+            [results['gt_labels'], sampled['gt_labels']], 0)
+        # remove original points inside sampled boxes, then paste points
+        from ..core.evaluation.geometry_np import box_corners_bev  # noqa
+        pts = results['points']
+        keep = ~_points_in_boxes_np(pts[:, :3],
+                                    sampled['gt_bboxes']).any(-1)
+        results['points'] = np.concatenate(
+            [sampled['points'], pts[keep]], 0)
+        return results
+
+
+def _points_in_boxes_np(xyz: np.ndarray, boxes: np.ndarray) -> np.ndarray:
+    """(P, 3) x (B, 7) -> (P, B) bool, z-inclusive."""
+    if len(boxes) == 0:
+        return np.zeros((len(xyz), 0), bool)
+    d = xyz[:, None, 0:2] - boxes[None, :, 0:2]
+    c, s = np.cos(boxes[:, 6]), np.sin(boxes[:, 6])
+    lx = c[None] * d[..., 0] + s[None] * d[..., 1]
+    ly = -s[None] * d[..., 0] + c[None] * d[..., 1]
+    in_bev = (np.abs(lx) <= boxes[None, :, 3] / 2) & \
+             (np.abs(ly) <= boxes[None, :, 4] / 2)
+    in_z = (xyz[:, None, 2] >= boxes[None, :, 2]) & \
+           (xyz[:, None, 2] <= boxes[None, :, 2] + boxes[None, :, 5])
+    return in_bev & in_z
+
+
+@PIPELINES.register_module()
+class Pad3D:
+    """Pad to static shapes for the jitted step: points (N_max, C) + mask,
+    gt (G_max, 7) + labels + valid."""
+
+    def __init__(self, num_points: int, num_gt: int = 64):
+        self.num_points = num_points
+        self.num_gt = num_gt
+
+    def __call__(self, results):
+        p = results['points']
+        n, c = p.shape
+        if n >= self.num_points:
+            sel = np.random.choice(n, self.num_points, replace=False) \
+                if n > self.num_points else np.arange(n)
+            points = p[sel]
+            mask = np.ones(self.num_points, bool)
+        else:
+            points = np.concatenate(
+                [p, np.zeros((self.num_points - n, c), p.dtype)], 0)
+            mask = np.arange(self.num_points) < n
+
+        gt = results.get('gt_bboxes', np.zeros((0, 7), np.float32))
+        lab = results.get('gt_labels', np.zeros((0,), np.int64))
+        g = min(len(gt), self.num_gt)
+        gt_pad = np.zeros((self.num_gt, gt.shape[1] if gt.size else 7),
+                          np.float32)
+        lab_pad = np.zeros((self.num_gt,), np.int32)
+        gt_pad[:g] = gt[:g]
+        lab_pad[:g] = lab[:g]
+        valid = np.arange(self.num_gt) < g
+        return dict(points=points.astype(np.float32), points_mask=mask,
+                    gt_bboxes=gt_pad, gt_labels=lab_pad, gt_valid=valid,
+                    meta={k: v for k, v in results.items()
+                          if k not in ('points', 'gt_bboxes', 'gt_labels')})
+
+
+def collate_batch(samples: List[Dict]) -> Dict:
+    """Stack padded samples into the batch dict the train step consumes."""
+    out = {}
+    for key in ('points', 'points_mask', 'gt_bboxes', 'gt_labels',
+                'gt_valid'):
+        out[key] = np.stack([s[key] for s in samples], 0)
+    out['metas'] = [s.get('meta', {}) for s in samples]
+    return out

@@ -1,0 +1,146 @@
+"""High-level detector engine: build / init / train_step / predict.
+
+The TPU analogue of the reference's detector + runner glue
+(``tools/train.py:181-213`` builds model/dataset and hands off to the mmcv
+runner; here a :class:`PointPillarsDetector` bundles the flax trunk with the
+anchor-head task math and exposes pure jittable functions).
+
+Batch dict contract (all padded, static shapes):
+    points      (B, N, C) float32
+    points_mask (B, N) bool
+    gt_bboxes   (B, G, 7) float32
+    gt_labels   (B, G) int32
+    gt_valid    (B, G) bool
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.dense_heads.anchor3d_head import GDAnchor3DHead
+from ..models.detectors.voxelnet import PointPillarsNet
+from ..registry import MODELS
+
+
+KITTI_3CLASS_MODEL = dict(
+    voxel_size=(0.16, 0.16, 4.0),
+    point_cloud_range=(0., -39.68, -3., 69.12, 39.68, 1.),
+    max_points_per_voxel=32,
+    max_voxels_per_sample=16000,
+    voxelize_mode='hard',
+    encoder_cfg=dict(in_channels=4, feat_channels=(64,)),
+    backbone_cfg=dict(in_channels=64, out_channels=(64, 128, 256),
+                      layer_nums=(3, 5, 5), layer_strides=(2, 2, 2)),
+    neck_cfg=dict(in_channels=(64, 128, 256), out_channels=(128, 128, 128),
+                  upsample_strides=(1, 2, 4)),
+    head_cfg=dict(num_classes=3, num_anchors=6, feat_channels=384),
+)
+
+KITTI_3CLASS_HEAD = dict(
+    num_classes=3,
+    anchor_generator=dict(
+        ranges=[
+            [0.08, -39.60, -0.6, 68.88, 39.44, -0.6],
+            [0.08, -39.60, -0.6, 68.88, 39.44, -0.6],
+            [0.08, -39.60, -1.78, 68.88, 39.44, -1.78],
+        ],
+        sizes=[[0.8, 0.6, 1.73], [1.76, 0.6, 1.73], [3.9, 1.6, 1.56]],
+        rotations=[0.0, 1.57],
+    ),
+    assigners=[
+        dict(pos_iou_thr=0.5, neg_iou_thr=0.35, min_pos_iou=0.35),
+        dict(pos_iou_thr=0.5, neg_iou_thr=0.35, min_pos_iou=0.35),
+        dict(pos_iou_thr=0.6, neg_iou_thr=0.45, min_pos_iou=0.45),
+    ],
+    loss_cls=dict(type='FocalLoss', use_sigmoid=True, gamma=2.0, alpha=0.25,
+                  loss_weight=1.0),
+    loss_bbox=dict(type='SmoothL1Loss', beta=1.0 / 9.0, loss_weight=2.0),
+    loss_decoded_bbox=dict(type='GDLoss', loss_type='kld3d',
+                           center_offset=(0, 0, 0.5), fun='log1p', tau=1.0,
+                           alpha=1.0, loss_weight=5.0),
+    loss_dir=dict(type='CrossEntropyLoss', use_sigmoid=False,
+                  loss_weight=0.2),
+    code_weight=[0., 0., 0., 0., 0., 0., 0.],
+    decode_weight=1.0,
+    test_cfg=dict(use_rotate_nms=True, nms_thr=0.01, score_thr=0.05,
+                  nms_pre=1024, max_num=100),
+)
+
+
+class PointPillarsDetector:
+    """PointPillars + GD anchor head (the flagship / north-star config:
+    reference ``hv_pointpillars_secfpn_kld5tau1_12x4_160e_kitti-3d-3class``).
+    """
+
+    def __init__(self, model_cfg: Optional[Dict[str, Any]] = None,
+                 head_cfg: Optional[Dict[str, Any]] = None,
+                 axis_name: Optional[str] = None):
+        mc = dict(KITTI_3CLASS_MODEL)
+        mc.update(model_cfg or {})
+        hc = dict(KITTI_3CLASS_HEAD)
+        hc.update(head_cfg or {})
+        self.trunk = PointPillarsNet(axis_name=axis_name, **mc)
+        self.head = GDAnchor3DHead(**hc)
+        self.model_cfg = mc
+        nx, ny = self.trunk._grid()
+        stride = mc['backbone_cfg']['layer_strides'][0]
+        self.featmap_size = (ny // stride, nx // stride)
+        # computed eagerly at construction: anchors are numpy constants that
+        # close over jitted functions (never created inside a trace)
+        self.anchors = self.head.anchors_for(self.featmap_size)
+
+    # -- pure functions -------------------------------------------------
+    def init(self, rng, batch):
+        return self.trunk.init(rng, batch['points'], batch['points_mask'],
+                               train=False)
+
+    def apply_train(self, variables, batch):
+        (cls, bbox, dirp), aux = self.trunk.apply(
+            variables, batch['points'], batch['points_mask'], train=True,
+            mutable=['batch_stats'])
+        return (cls, bbox, dirp), aux['batch_stats']
+
+    def apply_eval(self, variables, batch):
+        return self.trunk.apply(variables, batch['points'],
+                                batch['points_mask'], train=False)
+
+    def loss(self, outputs, batch):
+        cls, bbox, dirp = outputs
+        targets = jax.vmap(self.head.get_targets, in_axes=(None, 0, 0, 0))(
+            self.anchors, batch['gt_bboxes'], batch['gt_labels'],
+            batch['gt_valid'])
+        losses = self.head.loss(cls, bbox, dirp, self.anchors, targets)
+        total = sum(losses.values())
+        return total, losses
+
+    def predict(self, variables, batch):
+        cls, bbox, dirp = self.apply_eval(variables, batch)
+        return jax.vmap(self.head.get_bboxes, in_axes=(0, 0, 0, None))(
+            cls, bbox, dirp, self.anchors)
+
+
+def synthetic_batch(batch_size: int = 2, num_points: int = 8192,
+                    num_gt: int = 16, seed: int = 0,
+                    pc_range=(0., -39.68, -3., 69.12, 39.68, 1.)):
+    """KITTI-like random batch for benchmarks / smoke tests."""
+    rng = np.random.RandomState(seed)
+    lo = np.asarray(pc_range[:3])
+    hi = np.asarray(pc_range[3:])
+    pts = rng.uniform(lo, hi, (batch_size, num_points, 3)).astype(np.float32)
+    inten = rng.rand(batch_size, num_points, 1).astype(np.float32)
+    points = np.concatenate([pts, inten], -1)
+    mask = np.ones((batch_size, num_points), bool)
+
+    ctr = rng.uniform(lo + 2, hi - 2, (batch_size, num_gt, 3))
+    dims = rng.uniform([1.6, 0.6, 1.4], [4.5, 1.9, 1.8],
+                       (batch_size, num_gt, 3))
+    yaw = rng.uniform(-np.pi, np.pi, (batch_size, num_gt, 1))
+    gt = np.concatenate([ctr, dims, yaw], -1).astype(np.float32)
+    labels = rng.randint(0, 3, (batch_size, num_gt)).astype(np.int32)
+    valid = np.ones((batch_size, num_gt), bool)
+    return dict(points=jnp.asarray(points), points_mask=jnp.asarray(mask),
+                gt_bboxes=jnp.asarray(gt), gt_labels=jnp.asarray(labels),
+                gt_valid=jnp.asarray(valid))

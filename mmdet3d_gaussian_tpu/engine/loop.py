@@ -1,0 +1,120 @@
+"""Training loop: data iterator, jitted step, checkpointing, logging.
+
+The TPU analogue of the mmcv ``EpochBasedRunner`` + hooks stack the reference
+delegates to (SURVEY.md §3.1): a python loop around one jitted SPMD step,
+orbax checkpoints (reference mmcv ``CheckpointHook``, interval=1 epoch),
+JSON-lines logging every ``log_interval`` steps (reference TextLoggerHook),
+and `jax.profiler` trace capture on demand.
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Any, Dict, Iterator, Optional
+
+import numpy as np
+
+
+def build_dataloader(cfg, split: str = 'train'):
+    """Build dataset + iterator of collated numpy batches."""
+    from ..registry import DATASETS
+    from ..datasets.pipelines import collate_batch
+
+    data_cfg = dict(cfg.get('data', {}).get(split, {}))
+    ds = DATASETS.build(data_cfg)
+    batch_size = int(cfg.get('data', {}).get('samples_per_gpu', 4))
+
+    def iterator(seed: int = 0) -> Iterator[Dict]:
+        rng = np.random.RandomState(seed)
+        order = rng.permutation(len(ds))
+        buf = []
+        for idx in order:
+            item = ds[int(idx)]
+            if item is None:
+                continue
+            buf.append(item)
+            if len(buf) == batch_size:
+                yield collate_batch(buf)
+                buf = []
+
+    return ds, iterator
+
+
+def save_checkpoint(work_dir: str, state, step: int):
+    import orbax.checkpoint as ocp
+    path = os.path.abspath(os.path.join(work_dir, f'ckpt_{step}'))
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, state)
+    ckptr.wait_until_finished()
+    return path
+
+
+def restore_checkpoint(path: str, target):
+    import orbax.checkpoint as ocp
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(os.path.abspath(path), target)
+
+
+def run_training(det, cfg, work_dir: str, seed: int = 0,
+                 max_steps: Optional[int] = None,
+                 resume_from: Optional[str] = None,
+                 eval_interval: int = 0, log_interval: int = 50):
+    import jax
+    from ..parallel import train_state as ts
+    from ..parallel.mesh import make_mesh, shard_batch, use_mesh
+
+    ds, make_iter = build_dataloader(cfg, 'train')
+    epochs = int(cfg.get('max_epochs', 40))
+    batch_size = int(cfg.get('data', {}).get('samples_per_gpu', 4))
+    steps_per_epoch = max(1, len(ds) // batch_size)
+    total_steps = max_steps or epochs * steps_per_epoch
+
+    opt_cfg = dict(cfg.get('optimizer', {}))
+    optimizer = ts.make_optimizer(
+        base_lr=float(opt_cfg.get('lr', 1e-3)),
+        total_steps=total_steps,
+        betas=tuple(opt_cfg.get('betas', (0.95, 0.99))),
+        weight_decay=float(opt_cfg.get('weight_decay', 0.01)),
+        grad_clip=float(cfg.get('grad_clip', 10.0)),
+        warmup=cfg.get('warmup'))
+
+    # init from one real batch
+    first = next(make_iter(seed))
+    variables = det.init(jax.random.PRNGKey(seed), first)
+    state = ts.init_state(variables['params'], variables['batch_stats'],
+                          optimizer)
+    if resume_from:
+        state = restore_checkpoint(resume_from, state)
+
+    def apply_fn(vs, b, train):
+        return det.apply_train(vs, b)
+
+    step_fn = jax.jit(ts.make_train_step(apply_fn, det.loss, optimizer),
+                      donate_argnums=(0,))
+    mesh = make_mesh(axis_names=('data',))
+
+    log_path = os.path.join(work_dir, 'train_log.jsonl')
+    step = int(state.step)
+    t0 = time.time()
+    with use_mesh(mesh), open(log_path, 'a') as logf:
+        for epoch in range(epochs):
+            for batch in make_iter(seed + epoch):
+                batch.pop('metas', None)
+                sb = shard_batch(mesh, batch)
+                state, metrics = step_fn(state, sb)
+                step += 1
+                if step % log_interval == 0:
+                    jax.block_until_ready(metrics)
+                    rec = {k: float(v) for k, v in metrics.items()}
+                    rec.update(step=step, epoch=epoch,
+                               time=round(time.time() - t0, 1))
+                    logf.write(json.dumps(rec) + '\n')
+                    logf.flush()
+                    print(f'step {step}: loss={rec["loss"]:.4f}')
+                if step >= total_steps:
+                    break
+            save_checkpoint(work_dir, state, step)
+            if step >= total_steps:
+                break
+    return state

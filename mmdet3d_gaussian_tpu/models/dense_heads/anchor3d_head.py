@@ -1,0 +1,302 @@
+"""GD Anchor3D head: forward convs + jit-safe target assignment + losses.
+
+TPU-native redesign of the reference ``GDAnchor3DHead``
+(``/root/reference/mmdet3d_gaussian/models/dense_heads/gd_anchor3d_head.py``):
+the torch version gathers positive anchors with ``nonzero()`` (dynamic
+shapes); here every loss is computed over *all* anchors with positivity
+masks/weights — numerically identical given the same avg_factor, but
+static-shape and fully fused.
+
+Loss structure (reference ``loss_single``, :62-165):
+  * focal classification over all anchors, ``avg_factor = num_total_pos``;
+  * ``loss_decoded_bbox`` (a GDLoss) on anchors+deltas decoded to metric
+    boxes, weighted by ``decode_weight`` (:128-141);
+  * sin-difference SmoothL1 on encoded deltas, weighted by ``code_weight``
+    (:152-159) — GD configs zero this and set decode_weight=1 so training is
+    purely Gaussian-distance;
+  * direction CE on positives, weight 0.2.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...core.anchor import Anchor3DRangeGenerator
+from ...core.bbox.assigners import MaxIoUAssigner
+from ...core.bbox.coders import (DeltaXYZWLHRBBoxCoder, add_sin_difference,
+                                 get_direction_target)
+from ...core.bbox.structures import limit_period
+from ...ops.nms import nms_bev, nms_normal_bev, topk_sorted
+from ...registry import LOSSES, MODELS
+
+
+@MODELS.register_module()
+class Anchor3DHeadConvs(nn.Module):
+    """1x1 conv heads over the neck output (NHWC)."""
+    num_classes: int
+    num_anchors: int            # sizes * rotations per cell
+    feat_channels: int = 384
+    use_direction_classifier: bool = True
+    box_code_size: int = 7
+
+    @nn.compact
+    def __call__(self, x):
+        # focal-loss prior bias init (pi = 0.01), mmdet bias_init_with_prob
+        prior_bias = float(-np.log((1 - 0.01) / 0.01))
+        cls_score = nn.Conv(self.num_anchors * self.num_classes, (1, 1),
+                            bias_init=nn.initializers.constant(prior_bias),
+                            name='conv_cls')(x)
+        bbox_pred = nn.Conv(self.num_anchors * self.box_code_size, (1, 1),
+                            name='conv_reg')(x)
+        dir_pred = None
+        if self.use_direction_classifier:
+            dir_pred = nn.Conv(self.num_anchors * 2, (1, 1),
+                               name='conv_dir_cls')(x)
+        return cls_score, bbox_pred, dir_pred
+
+
+class AnchorTargets(NamedTuple):
+    labels: jax.Array         # (A,) int32 in [0, C]; C = background
+    label_weights: jax.Array  # (A,)
+    bbox_targets: jax.Array   # (A, 7) encoded deltas
+    bbox_weights: jax.Array   # (A,)
+    dir_targets: jax.Array    # (A,) int32
+    num_pos: jax.Array        # () int32
+
+
+class GDAnchor3DHead:
+    """Config-holder + pure functions for targets / loss / decode.
+
+    The conv parameters live in :class:`Anchor3DHeadConvs`; this object holds
+    the task math so it can be used inside ``jax.jit``/``shard_map`` without
+    flax state.
+    """
+
+    def __init__(self, num_classes: int, anchor_generator: Dict[str, Any],
+                 assigners: Sequence[Dict[str, Any]],
+                 loss_cls: Dict[str, Any], loss_bbox: Dict[str, Any],
+                 loss_decoded_bbox: Optional[Dict[str, Any]] = None,
+                 loss_dir: Optional[Dict[str, Any]] = None,
+                 dir_offset: float = -np.pi / 2,
+                 diff_rad_by_sin: bool = True, assign_per_class: bool = True,
+                 code_weight: Optional[Sequence[float]] = None,
+                 decode_weight: Optional[float] = None,
+                 train_cfg: Optional[Dict[str, Any]] = None,
+                 test_cfg: Optional[Dict[str, Any]] = None):
+        self.num_classes = num_classes
+        self.anchor_generator = Anchor3DRangeGenerator(**anchor_generator)
+        self.assigners = [MaxIoUAssigner(**{k: v for k, v in a.items()
+                                            if k != 'type'})
+                          for a in assigners]
+        self.coder = DeltaXYZWLHRBBoxCoder()
+        self.loss_cls = LOSSES.build(loss_cls)
+        self.loss_bbox = LOSSES.build(loss_bbox)
+        self.loss_decoded_bbox = (LOSSES.build(loss_decoded_bbox)
+                                  if loss_decoded_bbox else None)
+        self.loss_dir = LOSSES.build(loss_dir) if loss_dir else None
+        self.dir_offset = dir_offset
+        self.diff_rad_by_sin = diff_rad_by_sin
+        self.assign_per_class = assign_per_class
+        self.code_weight = code_weight
+        self.decode_weight = decode_weight
+        self.train_cfg = train_cfg or {}
+        self.test_cfg = test_cfg or {}
+
+    # ------------------------------------------------------------------
+    def anchors_for(self, featmap_size):
+        """(H, W) -> anchors (H, W, S, R, 7)."""
+        return self.anchor_generator.single_level_grid_anchors(featmap_size)
+
+    def _assign_single(self, anchors_flat, gt_bboxes, gt_labels, gt_valid,
+                       class_slices=None):
+        """Run assignment; per-class when configured.
+
+        anchors_flat: (A, 7) in (H, W, S, R) flatten order.
+        class_slices: for per-class assignment, a (S,) structure telling
+            which size index belongs to which class; we assume size s ==
+            class s (the reference KITTI/Waymo convention).
+        """
+        if not self.assign_per_class or len(self.assigners) == 1:
+            return self.assigners[0].assign(anchors_flat, gt_bboxes,
+                                            gt_labels, gt_valid)
+        # per-class: anchors (H*W, S, R, 7); class c uses slice [:, c, :, :]
+        s = len(self.assigners)
+        r = anchors_flat.shape[0] // s  # placeholder, recomputed by caller
+        raise RuntimeError('use assign_per_class path via get_targets')
+
+    def get_targets(self, anchors, gt_bboxes, gt_labels,
+                    gt_valid) -> AnchorTargets:
+        """Per-sample target assignment.
+
+        anchors: (H, W, S, R, 7); gt padded (G, 7) + labels (G,) + valid (G,).
+        Returns flat (A = H*W*S*R) targets in (H, W, S, R) order.
+        """
+        h, w, s, r, _ = anchors.shape
+        flat = anchors.reshape(-1, 7)
+        if self.assign_per_class and len(self.assigners) == s:
+            per_class = []
+            anc_cls = anchors.reshape(h * w, s, r, 7)
+            for c, assigner in enumerate(self.assigners):
+                anc = anc_cls[:, c, :, :].reshape(-1, 7)
+                mask_c = gt_valid & (gt_labels == c)
+                res = assigner.assign(anc, gt_bboxes, gt_labels, mask_c)
+                per_class.append(res)
+            assigned = jnp.stack(
+                [p.assigned_gt.reshape(h * w, r) for p in per_class],
+                axis=1).reshape(-1)
+            labels_a = jnp.stack(
+                [p.labels.reshape(h * w, r) for p in per_class],
+                axis=1).reshape(-1)
+        else:
+            res = self.assigners[0].assign(flat, gt_bboxes, gt_labels,
+                                           gt_valid)
+            assigned, labels_a = res.assigned_gt, res.labels
+
+        pos = assigned > 0
+        neg = assigned == 0
+        safe_gt = jnp.clip(assigned - 1, 0)
+        matched_gt = gt_bboxes[safe_gt]
+
+        labels = jnp.where(pos, labels_a, self.num_classes).astype(jnp.int32)
+        label_weights = (pos | neg).astype(jnp.float32)
+        bbox_targets = jnp.where(pos[:, None],
+                                 self.coder.encode(flat, matched_gt), 0.0)
+        bbox_weights = pos.astype(jnp.float32)
+        dir_targets = jnp.where(
+            pos,
+            get_direction_target(flat, bbox_targets,
+                                 dir_offset=self.dir_offset), 0)
+        return AnchorTargets(labels=labels, label_weights=label_weights,
+                             bbox_targets=bbox_targets,
+                             bbox_weights=bbox_weights,
+                             dir_targets=dir_targets.astype(jnp.int32),
+                             num_pos=jnp.sum(pos).astype(jnp.int32))
+
+    # ------------------------------------------------------------------
+    def loss(self, cls_score, bbox_pred, dir_pred, anchors, targets_batched):
+        """Batched loss.
+
+        cls_score: (B, H, W, S*R*C); bbox_pred: (B, H, W, S*R*7);
+        dir_pred: (B, H, W, S*R*2); anchors (H, W, S, R, 7);
+        targets_batched: AnchorTargets with a leading batch dim (vmapped
+        ``get_targets``).
+        """
+        b = cls_score.shape[0]
+        c = self.num_classes
+        anchors_flat = jnp.broadcast_to(
+            anchors.reshape(1, -1, 7),
+            (b, anchors.size // 7, 7)).reshape(-1, 7)
+
+        cls_score = cls_score.reshape(-1, c).astype(jnp.float32)
+        bbox_pred = bbox_pred.reshape(-1, 7).astype(jnp.float32)
+        labels = targets_batched.labels.reshape(-1)
+        label_weights = targets_batched.label_weights.reshape(-1)
+        bbox_targets = targets_batched.bbox_targets.reshape(-1, 7)
+        bbox_weights = targets_batched.bbox_weights.reshape(-1)
+        dir_targets = targets_batched.dir_targets.reshape(-1)
+
+        num_pos = jnp.sum(targets_batched.num_pos).astype(jnp.float32)
+        avg = jnp.maximum(num_pos, 1.0)
+
+        losses = {}
+        losses['loss_cls'] = self.loss_cls(cls_score, labels, label_weights,
+                                           avg_factor=avg)
+
+        # regression on decoded boxes (GDLoss) — weight rows by positivity
+        loss_bbox = 0.0
+        if self.loss_decoded_bbox is not None and self.decode_weight:
+            dec_p = self.coder.decode(anchors_flat, bbox_pred)
+            dec_t = self.coder.decode(anchors_flat, bbox_targets)
+            w = bbox_weights * self.decode_weight
+            loss_bbox = loss_bbox + self.loss_decoded_bbox(
+                dec_p, dec_t, weight=w, avg_factor=avg)
+
+        # sin-difference SmoothL1 on encoded deltas
+        if self.code_weight is not None and any(self.code_weight):
+            cw = jnp.asarray(self.code_weight, jnp.float32)
+            pred_s, tgt_s = bbox_pred, bbox_targets
+            if self.diff_rad_by_sin:
+                pred_s, tgt_s = add_sin_difference(pred_s, tgt_s)
+            loss_bbox = loss_bbox + self.loss_bbox(
+                pred_s, tgt_s, weight=bbox_weights[:, None] * cw,
+                avg_factor=avg)
+        elif self.code_weight is None and self.loss_decoded_bbox is None:
+            pred_s, tgt_s = bbox_pred, bbox_targets
+            if self.diff_rad_by_sin:
+                pred_s, tgt_s = add_sin_difference(pred_s, tgt_s)
+            loss_bbox = loss_bbox + self.loss_bbox(
+                pred_s, tgt_s, weight=bbox_weights[:, None],
+                avg_factor=avg)
+        losses['loss_bbox'] = loss_bbox
+
+        if self.loss_dir is not None and dir_pred is not None:
+            dir_pred = dir_pred.reshape(-1, 2).astype(jnp.float32)
+            losses['loss_dir'] = self.loss_dir(
+                dir_pred, dir_targets, bbox_weights, avg_factor=avg)
+        return losses
+
+    # ------------------------------------------------------------------
+    def get_bboxes(self, cls_score, bbox_pred, dir_pred, anchors,
+                   max_num: Optional[int] = None):
+        """Single-sample decode + rotated NMS -> fixed-size detections.
+
+        cls_score: (H, W, S*R*C) logits; returns (boxes (K, 7), scores (K,),
+        labels (K,), valid (K,)) with K = test_cfg['max_num'].
+        """
+        cfg = self.test_cfg
+        c = self.num_classes
+        nms_pre = int(cfg.get('nms_pre', 1024))
+        score_thr = float(cfg.get('score_thr', 0.05))
+        nms_thr = float(cfg.get('nms_thr', 0.01))
+        max_num = int(max_num or cfg.get('max_num', 100))
+        use_rotate_nms = bool(cfg.get('use_rotate_nms', True))
+
+        scores = jax.nn.sigmoid(cls_score.reshape(-1, c).astype(jnp.float32))
+        deltas = bbox_pred.reshape(-1, 7).astype(jnp.float32)
+        anchors_flat = anchors.reshape(-1, 7)
+        boxes = self.coder.decode(anchors_flat, deltas)
+        dir_cls = jnp.argmax(dir_pred.reshape(-1, 2), axis=-1)
+
+        # mmdet3d dir correction: yaw -> dir_offset + limit_period + bin*pi
+        yaw = boxes[..., 6]
+        dir_rot = limit_period(yaw - self.dir_offset, 1.0, np.pi)
+        yaw = dir_rot + self.dir_offset + np.pi * dir_cls.astype(yaw.dtype)
+        boxes = boxes.at[..., 6].set(yaw)
+
+        nms_pre = min(nms_pre, scores.shape[0])
+        # pre-select by max score
+        max_scores = jnp.max(scores, axis=-1)
+        _, topi = jax.lax.top_k(max_scores, nms_pre)
+        scores_k = scores[topi]
+        boxes_k = boxes[topi]
+
+        out_boxes, out_scores, out_labels, out_valid = [], [], [], []
+        per_cls = max_num  # keep max_num candidates per class before merge
+        for cls_id in range(c):
+            s = scores_k[:, cls_id]
+            valid = s > score_thr
+            s_sorted, idx = jax.lax.top_k(jnp.where(valid, s, -1.0),
+                                          min(per_cls * 2, nms_pre))
+            b_sorted = boxes_k[idx]
+            v_sorted = s_sorted > score_thr
+            bev = jnp.stack([b_sorted[:, 0], b_sorted[:, 1], b_sorted[:, 3],
+                             b_sorted[:, 4], b_sorted[:, 6]], axis=-1)
+            if use_rotate_nms:
+                keep = nms_bev(bev, s_sorted, nms_thr, valid=v_sorted)
+            else:
+                keep = nms_normal_bev(bev, s_sorted, nms_thr, valid=v_sorted)
+            out_boxes.append(b_sorted)
+            out_scores.append(jnp.where(keep, s_sorted, -1.0))
+            out_labels.append(jnp.full(s_sorted.shape, cls_id, jnp.int32))
+            out_valid.append(keep)
+
+        ab = jnp.concatenate(out_boxes, 0)
+        asc = jnp.concatenate(out_scores, 0)
+        al = jnp.concatenate(out_labels, 0)
+        final_scores, fidx = jax.lax.top_k(asc, max_num)
+        return (ab[fidx], final_scores, al[fidx],
+                final_scores > score_thr)

@@ -1,0 +1,126 @@
+"""Standard detection losses (pure JAX).
+
+Native replacements for the mmdet losses the reference configs instantiate
+(``FocalLoss``, ``SmoothL1Loss``, ``CrossEntropyLoss`` in
+``/root/reference/configs/_base_/models/hv_pointpillars_secfpn_kitti.py:33-43``
+and ``GaussianFocalLoss``/``L1Loss`` used by the CenterPoint heads in
+``/root/reference/mmdet3d_gaussian/models/dense_heads/gd_centerpoint_head.py``).
+All follow mmdet's elementwise-loss + ``weight_reduce_loss`` contract so heads
+can pass per-element weights and ``avg_factor``.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ...registry import LOSSES
+from .gaussian import weight_reduce_loss
+
+
+def sigmoid_focal_loss(pred, target_onehot, gamma=2.0, alpha=0.25):
+    """Elementwise sigmoid focal loss over (N, C) logits.
+
+    ``target_onehot`` is {0,1} per class (background = all-zero row).
+    """
+    p = jax.nn.sigmoid(pred)
+    pt = jnp.where(target_onehot > 0, 1.0 - p, p)
+    alpha_t = jnp.where(target_onehot > 0, alpha, 1.0 - alpha)
+    # log-sigmoid for numerical stability
+    ce = jnp.where(target_onehot > 0,
+                   -jax.nn.log_sigmoid(pred),
+                   -jax.nn.log_sigmoid(-pred))
+    return alpha_t * (pt ** gamma) * ce
+
+
+@LOSSES.register_module()
+class FocalLoss:
+    def __init__(self, use_sigmoid=True, gamma=2.0, alpha=0.25,
+                 reduction='mean', loss_weight=1.0):
+        assert use_sigmoid
+        self.gamma, self.alpha = gamma, alpha
+        self.reduction, self.loss_weight = reduction, loss_weight
+
+    def __call__(self, pred, target, weight=None, avg_factor=None):
+        """pred: (N, C) logits; target: (N,) int labels in [0, C] where C
+        (== num_classes) means background — mmdet convention."""
+        num_classes = pred.shape[-1]
+        onehot = jax.nn.one_hot(target, num_classes + 1,
+                                dtype=pred.dtype)[..., :num_classes]
+        loss = sigmoid_focal_loss(pred, onehot, self.gamma, self.alpha)
+        if weight is not None and weight.ndim == 1:
+            weight = weight[:, None]
+        return self.loss_weight * weight_reduce_loss(
+            loss, weight, self.reduction, avg_factor)
+
+
+@LOSSES.register_module()
+class SmoothL1Loss:
+    def __init__(self, beta=1.0, reduction='mean', loss_weight=1.0):
+        self.beta, self.reduction, self.loss_weight = beta, reduction, loss_weight
+
+    def __call__(self, pred, target, weight=None, avg_factor=None):
+        diff = jnp.abs(pred - target)
+        loss = jnp.where(diff < self.beta,
+                         0.5 * diff * diff / self.beta,
+                         diff - 0.5 * self.beta)
+        return self.loss_weight * weight_reduce_loss(
+            loss, weight, self.reduction, avg_factor)
+
+
+@LOSSES.register_module()
+class L1Loss:
+    def __init__(self, reduction='mean', loss_weight=1.0):
+        self.reduction, self.loss_weight = reduction, loss_weight
+
+    def __call__(self, pred, target, weight=None, avg_factor=None):
+        loss = jnp.abs(pred - target)
+        return self.loss_weight * weight_reduce_loss(
+            loss, weight, self.reduction, avg_factor)
+
+
+@LOSSES.register_module()
+class CrossEntropyLoss:
+    """Softmax CE over class dim (used for direction classification)."""
+
+    def __init__(self, use_sigmoid=False, reduction='mean', loss_weight=1.0):
+        self.use_sigmoid = use_sigmoid
+        self.reduction, self.loss_weight = reduction, loss_weight
+
+    def __call__(self, pred, target, weight=None, avg_factor=None):
+        if self.use_sigmoid:
+            onehot = target.astype(pred.dtype)
+            loss = (jnp.where(onehot > 0, -jax.nn.log_sigmoid(pred),
+                              -jax.nn.log_sigmoid(-pred)))
+            loss = jnp.sum(loss, axis=-1)
+        else:
+            logp = jax.nn.log_softmax(pred, axis=-1)
+            loss = -jnp.take_along_axis(
+                logp, target[..., None].astype(jnp.int32), axis=-1)[..., 0]
+        return self.loss_weight * weight_reduce_loss(
+            loss, weight, self.reduction, avg_factor)
+
+
+@LOSSES.register_module()
+class GaussianFocalLoss:
+    """Heatmap focal loss in the CornerNet/CenterNet form.
+
+    Elementwise over a [0,1] Gaussian-splatted target heatmap; positives are
+    cells with target == 1 (reference CenterPoint heads use mmdet's
+    ``GaussianFocalLoss`` with alpha=2, gamma=4).
+    """
+
+    def __init__(self, alpha=2.0, gamma=4.0, reduction='mean',
+                 loss_weight=1.0):
+        self.alpha, self.gamma = alpha, gamma
+        self.reduction, self.loss_weight = reduction, loss_weight
+
+    def __call__(self, pred, target, weight=None, avg_factor=None):
+        eps = 1e-12
+        pos = (target == 1.0).astype(pred.dtype)
+        neg = 1.0 - pos
+        neg_w = jnp.power(jnp.clip(1.0 - target, 0.0, 1.0), self.gamma)
+        loss = (-jnp.log(pred + eps) * jnp.power(1 - pred, self.alpha) * pos
+                - jnp.log(1 - pred + eps) * jnp.power(pred, self.alpha)
+                * neg_w * neg)
+        return self.loss_weight * weight_reduce_loss(
+            loss, weight, self.reduction, avg_factor)

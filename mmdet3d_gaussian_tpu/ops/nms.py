@@ -1,0 +1,81 @@
+"""NMS variants, static-shape JAX (mask-based suppression).
+
+Replaces the reference's CUDA ``nms_gpu`` rotated NMS (imported at
+``models/dense_heads/gd_centerpoint_head.py:9``) and the numpy ``circle_nms``
+(CenterPoint).  All functions keep static shapes: candidates are pre-selected
+top-k by score, suppression runs as a sequential mask sweep
+(``lax.fori_loop``), outputs are fixed-size keep masks — jit/pmap friendly.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .rotated_iou import iou_bev
+
+
+def _suppress_sweep(iou_mat, valid, thr):
+    """Greedy NMS given a score-sorted pairwise IoU matrix (K, K)."""
+    k = iou_mat.shape[0]
+    suppress = iou_mat > thr
+
+    def body(i, keep):
+        keep_i = keep[i]
+        kill = suppress[i] & (jnp.arange(k) > i) & keep_i
+        return keep & ~kill
+
+    keep0 = valid
+    return jax.lax.fori_loop(0, k, body, keep0)
+
+
+def nms_bev(boxes, scores, thr: float, valid=None):
+    """Rotated-BEV NMS.
+
+    Args:
+        boxes: (K, 5) (cx, cy, w, h, yaw), already sorted by descending
+            score (use :func:`topk_sorted` first).
+        scores: (K,) descending.
+        thr: IoU threshold.
+        valid: (K,) bool pre-mask.
+    Returns: keep mask (K,).
+    """
+    if valid is None:
+        valid = jnp.ones(boxes.shape[:1], bool)
+    iou = iou_bev(boxes, boxes)
+    return _suppress_sweep(iou, valid, thr)
+
+
+def nms_normal_bev(boxes, scores, thr: float, valid=None):
+    """Axis-aligned NMS on the BEV AABBs of rotated boxes."""
+    if valid is None:
+        valid = jnp.ones(boxes.shape[:1], bool)
+    # AABB of the rotated box
+    c, s = jnp.abs(jnp.cos(boxes[:, 4])), jnp.abs(jnp.sin(boxes[:, 4]))
+    hw = 0.5 * (boxes[:, 2] * c + boxes[:, 3] * s)
+    hh = 0.5 * (boxes[:, 2] * s + boxes[:, 3] * c)
+    x1, x2 = boxes[:, 0] - hw, boxes[:, 0] + hw
+    y1, y2 = boxes[:, 1] - hh, boxes[:, 1] + hh
+    area = (x2 - x1) * (y2 - y1)
+    lt_x = jnp.maximum(x1[:, None], x1[None, :])
+    lt_y = jnp.maximum(y1[:, None], y1[None, :])
+    rb_x = jnp.minimum(x2[:, None], x2[None, :])
+    rb_y = jnp.minimum(y2[:, None], y2[None, :])
+    inter = jnp.clip(rb_x - lt_x, 0) * jnp.clip(rb_y - lt_y, 0)
+    iou = inter / jnp.maximum(area[:, None] + area[None, :] - inter, 1e-6)
+    return _suppress_sweep(iou, valid, thr)
+
+
+def circle_nms(centers, scores, radius: float, valid=None):
+    """CenterPoint circle NMS: suppress by center distance < radius
+    (reference usage ``gd_centerpoint_head.py:256-281``; CPU numpy there,
+    vectorized here).  Inputs sorted by descending score."""
+    if valid is None:
+        valid = jnp.ones(centers.shape[:1], bool)
+    d2 = jnp.sum((centers[:, None, :] - centers[None, :, :]) ** 2, -1)
+    return _suppress_sweep(-d2, valid, -(radius * radius))
+
+
+def topk_sorted(scores, k: int, *arrays):
+    """Top-k by score; returns (scores_k, idx_k, *arrays_k) sorted desc."""
+    sk, idx = jax.lax.top_k(scores, k)
+    return (sk, idx) + tuple(a[idx] for a in arrays)

@@ -1,0 +1,137 @@
+"""Exact rotated-box intersection / IoU, vectorized branch-free JAX.
+
+TPU-native reimplementation of the reference's header-only polygon-clipping
+geometry (``/root/reference/mmdet3d_gaussian/ops/eval/rbox_utils.hpp``:
+``get_rotated_vertices`` :53-71 (radians), ``get_intersection_points``
+:73-151, Graham hull :153-264, shoelace :266-278).  The C++ code builds an
+explicit convex hull with data-dependent loops; here the intersection polygon
+is assembled branch-free from a fixed 24-slot candidate set:
+
+    *  4 corners of A inside B
+    *  4 corners of B inside A
+    * 16 edge x edge intersection points
+
+Valid candidates are angle-sorted around their centroid (invalid slots sort
+last and are replaced by the first valid vertex so the shoelace sum sees
+zero-length closing edges).  This is exact for convex quads, fully
+vectorizable with ``vmap``, and maps to pure VPU work.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_EPS = 1e-8
+
+
+def box_corners(boxes):
+    """(..., 5) (cx, cy, w, h, yaw) -> (..., 4, 2) CCW corners."""
+    cx, cy, w, h, yaw = (boxes[..., i] for i in range(5))
+    c, s = jnp.cos(yaw), jnp.sin(yaw)
+    dx = jnp.stack([-w, w, w, -w], axis=-1) * 0.5
+    dy = jnp.stack([-h, -h, h, h], axis=-1) * 0.5
+    x = cx[..., None] + c[..., None] * dx - s[..., None] * dy
+    y = cy[..., None] + s[..., None] * dx + c[..., None] * dy
+    return jnp.stack([x, y], axis=-1)
+
+
+def _points_in_quad(pts, box):
+    """pts (..., K, 2) inside rotated box (..., 5) -> (..., K) bool."""
+    d = pts - box[..., None, 0:2]
+    c, s = jnp.cos(box[..., 4]), jnp.sin(box[..., 4])
+    lx = c[..., None] * d[..., 0] + s[..., None] * d[..., 1]
+    ly = -s[..., None] * d[..., 0] + c[..., None] * d[..., 1]
+    return ((jnp.abs(lx) <= box[..., None, 2] * 0.5 + 1e-5)
+            & (jnp.abs(ly) <= box[..., None, 3] * 0.5 + 1e-5))
+
+
+def _segment_intersections(ca, cb):
+    """All 16 edge-edge intersection points of two quads.
+
+    ca, cb: (4, 2) corner arrays. Returns pts (16, 2), valid (16,).
+    """
+    a0 = ca                      # (4, 2) edge starts
+    a1 = jnp.roll(ca, -1, 0)     # edge ends
+    b0 = cb
+    b1 = jnp.roll(cb, -1, 0)
+
+    # broadcast to (4, 4, 2): a-edges x b-edges
+    p, r = a0[:, None, :], (a1 - a0)[:, None, :]
+    q, s = b0[None, :, :], (b1 - b0)[None, :, :]
+    rxs = r[..., 0] * s[..., 1] - r[..., 1] * s[..., 0]
+    qp = q - p
+    t = (qp[..., 0] * s[..., 1] - qp[..., 1] * s[..., 0]) / \
+        jnp.where(jnp.abs(rxs) < _EPS, 1.0, rxs)
+    u = (qp[..., 0] * r[..., 1] - qp[..., 1] * r[..., 0]) / \
+        jnp.where(jnp.abs(rxs) < _EPS, 1.0, rxs)
+    valid = ((jnp.abs(rxs) >= _EPS) & (t >= -1e-6) & (t <= 1 + 1e-6)
+             & (u >= -1e-6) & (u <= 1 + 1e-6))
+    pts = p + t[..., None] * r
+    return pts.reshape(16, 2), valid.reshape(16)
+
+
+def _polygon_area_sorted(pts, valid):
+    """Shoelace area of the convex polygon formed by the valid candidate
+    points (24, 2).  Angle-sort around the valid centroid; invalid slots
+    collapse onto the first vertex (zero-length edges)."""
+    nvalid = jnp.maximum(jnp.sum(valid), 1)
+    centroid = jnp.sum(jnp.where(valid[:, None], pts, 0.0), axis=0) / nvalid
+    ang = jnp.arctan2(pts[:, 1] - centroid[1], pts[:, 0] - centroid[0])
+    ang = jnp.where(valid, ang, 1e9)
+    order = jnp.argsort(ang)
+    sp = pts[order]
+    sv = valid[order]
+    first = sp[0]
+    sp = jnp.where(sv[:, None], sp, first)
+    nxt = jnp.roll(sp, -1, 0)
+    cross = sp[:, 0] * nxt[:, 1] - sp[:, 1] * nxt[:, 0]
+    area = 0.5 * jnp.abs(jnp.sum(cross))
+    return jnp.where(jnp.sum(valid) >= 3, area, 0.0)
+
+
+def _intersect_area_single(box_a, box_b):
+    """Intersection area of two (5,) rotated boxes."""
+    ca = box_corners(box_a)
+    cb = box_corners(box_b)
+    in_b = _points_in_quad(ca, box_b)          # (4,)
+    in_a = _points_in_quad(cb, box_a)          # (4,)
+    inter_pts, inter_valid = _segment_intersections(ca, cb)
+    pts = jnp.concatenate([ca, cb, inter_pts], axis=0)       # (24, 2)
+    valid = jnp.concatenate([in_b, in_a, inter_valid], axis=0)
+    return _polygon_area_sorted(pts, valid)
+
+
+def intersect_area_bev(boxes1, boxes2):
+    """(N, 5) x (M, 5) -> (N, M) pairwise rotated intersection areas."""
+    f = jax.vmap(jax.vmap(_intersect_area_single, (None, 0)), (0, None))
+    return f(boxes1, boxes2)
+
+
+def iou_bev(boxes1, boxes2, eps: float = 1e-6):
+    """Pairwise exact rotated BEV IoU of (cx, cy, w, h, yaw) boxes
+    (reference eval ``iou_bev``, ``ops/eval/affinity.cpp:51-81``)."""
+    inter = intersect_area_bev(boxes1, boxes2)
+    a1 = boxes1[:, 2] * boxes1[:, 3]
+    a2 = boxes2[:, 2] * boxes2[:, 3]
+    return inter / jnp.maximum(a1[:, None] + a2[None, :] - inter, eps)
+
+
+def iou_3d(boxes1, boxes2, z_offset: float = 0.0, eps: float = 1e-6):
+    """Pairwise 3D IoU of 7-dim bottom-centered boxes: BEV polygon overlap
+    x z-extent overlap (reference ``iou_3d``, ``affinity.cpp:8-49``; the
+    z_offset parameter shifts the gt z like the reference's evaluator).
+    """
+    bev1 = jnp.concatenate([boxes1[:, 0:2], boxes1[:, 3:5], boxes1[:, 6:7]],
+                           axis=-1)
+    bev2 = jnp.concatenate([boxes2[:, 0:2], boxes2[:, 3:5], boxes2[:, 6:7]],
+                           axis=-1)
+    inter_bev = intersect_area_bev(bev1, bev2)
+    z1lo, z1hi = boxes1[:, 2] + z_offset, boxes1[:, 2] + z_offset + boxes1[:, 5]
+    z2lo, z2hi = boxes2[:, 2], boxes2[:, 2] + boxes2[:, 5]
+    zov = jnp.clip(jnp.minimum(z1hi[:, None], z2hi[None, :])
+                   - jnp.maximum(z1lo[:, None], z2lo[None, :]), 0.0)
+    inter = inter_bev * zov
+    v1 = boxes1[:, 3] * boxes1[:, 4] * boxes1[:, 5]
+    v2 = boxes2[:, 3] * boxes2[:, 4] * boxes2[:, 5]
+    return inter / jnp.maximum(v1[:, None] + v2[None, :] - inter, eps)

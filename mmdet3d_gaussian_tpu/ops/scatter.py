@@ -1,0 +1,240 @@
+"""Dynamic point->voxel scatter, the central voxelization op — TPU-native.
+
+Replaces the reference's CUDA dynamic scatter stack
+(``/root/reference/mmdet3d_gaussian/ops/voxel/src/scatter_points_cuda.cu`` and
+its wrapper ``ops/voxel/scatter.py``) with a *sort-based, deterministic,
+static-shape* formulation:
+
+* The CUDA path dedups voxel coords with ``at::unique_dim`` and reduces with
+  per-point atomics (nondeterministic float sums).  On TPU we instead
+  linearize voxel coords to integer keys, and use XLA ``segment_sum`` /
+  ``segment_max`` over a *compacted* voxel index assigned by sorting the keys.
+  Results are bit-deterministic run to run — an improvement the survey calls
+  out to preserve (SURVEY.md §5 "race detection").
+* Ragged voxel counts become static shapes: ``max_voxels`` is a config
+  constant (mirroring the reference's ``max_voxels=(16000, 40000)``); unused
+  voxel rows are masked.  Invalid points (coords outside range -> key
+  sentinel) land in a trash segment that is sliced away.
+* Gradient semantics match the CUDA kernels: sum/mean backward copies
+  (scaled) grads back to points (``add_reduce_traceback_grad_kernel``,
+  scatter_points_cuda.cu:106-134); max backward routes the gradient to the
+  single contributing point, ties broken by *lowest point index*
+  (``atomicMin`` traceback, scatter_points_cuda.cu:155-158) — reproduced here
+  exactly via a min-index argmax reduction.  These come for free from XLA's
+  ``segment_max`` VJP except the tie-break, which we pin with a custom VJP.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def compute_voxel_coords(points_xyz, point_cloud_range, voxel_size):
+    """Point xyz -> integer voxel coords ``(N, 3)`` as (ix, iy, iz); -1 rows
+    for out-of-range points.
+
+    Mirrors the coordinate convention of mmdet3d's dynamic ``Voxelization``
+    (used by the reference at ``models/detectors/dynamic_centerpoint.py:16-36``)
+    but keeps (x, y, z) order; callers decide the canvas layout.
+    """
+    pcr = jnp.asarray(point_cloud_range, dtype=points_xyz.dtype)
+    vs = jnp.asarray(voxel_size, dtype=points_xyz.dtype)
+    grid = jnp.floor((pcr[3:6] - pcr[0:3]) / vs + 0.5).astype(jnp.int32)
+    coords = jnp.floor((points_xyz - pcr[0:3]) / vs).astype(jnp.int32)
+    valid = jnp.all((coords >= 0) & (coords < grid), axis=-1)
+    return jnp.where(valid[:, None], coords, -1), grid
+
+
+class Scatter(NamedTuple):
+    """Compacted point->voxel mapping (the reference ``Scatter`` object,
+    ``ops/voxel/scatter.py:75-144``, rebuilt on sorted segment ids).
+
+    Attributes:
+        point_voxel_ids: (N,) int32 — compact voxel id per point in
+            ``[0, max_voxels)``; invalid points get ``max_voxels`` (trash row).
+        voxel_coords: (max_voxels, C) int32 — per-voxel coords
+            (batch_idx first if batched); -1 rows are unused.
+        voxel_counts: (max_voxels,) int32 — points per voxel (0 = unused).
+        num_voxels: () int32 — number of live voxels.
+        max_voxels: static python int.
+    """
+    point_voxel_ids: jax.Array
+    voxel_coords: jax.Array
+    voxel_counts: jax.Array
+    num_voxels: jax.Array
+    max_voxels: int
+
+    # -- reductions -------------------------------------------------------
+    def reduce(self, point_feats, op: str = 'max'):
+        """Per-voxel reduction of point features -> (max_voxels, C)."""
+        if op == 'sum':
+            return _segment_sum_nd(point_feats, self.point_voxel_ids,
+                                   self.max_voxels)
+        if op == 'mean':
+            s = _segment_sum_nd(point_feats, self.point_voxel_ids,
+                                self.max_voxels)
+            cnt = jnp.maximum(self.voxel_counts, 1).astype(point_feats.dtype)
+            return s / cnt[:, None]
+        if op == 'max':
+            return segment_max_lowtie(point_feats, self.point_voxel_ids,
+                                      self.max_voxels)
+        raise ValueError(f'unknown reduce op {op!r}')
+
+    def mapback(self, voxel_feats):
+        """Gather voxel features back onto points -> (N, C); invalid points
+        read zeros (reference ``mapback``, scatter.py:127-131)."""
+        padded = jnp.concatenate(
+            [voxel_feats, jnp.zeros_like(voxel_feats[:1])], axis=0)
+        return padded[self.point_voxel_ids]
+
+    def reduce_mapback(self, point_feats, op: str = 'mean'):
+        return self.mapback(self.reduce(point_feats, op))
+
+    @property
+    def valid_voxel_mask(self):
+        return self.voxel_counts > 0
+
+    @property
+    def valid_point_mask(self):
+        return self.point_voxel_ids < self.max_voxels
+
+
+def _segment_sum_nd(data, segment_ids, num_segments):
+    """segment_sum with a trailing trash segment stripped."""
+    out = jax.ops.segment_sum(data, segment_ids,
+                              num_segments=num_segments + 1)
+    return out[:num_segments]
+
+
+# --------------------------------------------------------------------------
+# max reduction with reference tie-break semantics (lowest point index wins
+# the gradient), as a custom VJP.
+# --------------------------------------------------------------------------
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def segment_max_lowtie(data, segment_ids, num_segments: int):
+    """Per-segment max; empty segments yield 0 (the CUDA kernels init the
+    output to 0 via ``reduced_feats.fill_(0)`` for max — see
+    dynamic_point_to_voxel_scatter_reduce_gpu, scatter_points_cuda.cu)."""
+    out = jax.ops.segment_max(data, segment_ids, num_segments=num_segments + 1)
+    out = out[:num_segments]
+    # segment_max returns -inf for empty segments; zero them like the ref.
+    return jnp.where(jnp.isfinite(out), out, 0.0)
+
+
+def _smax_fwd(data, segment_ids, num_segments):
+    out = segment_max_lowtie(data, segment_ids, num_segments)
+    # winner per (segment, channel): the *lowest* point index achieving the
+    # max (reference atomicMin traceback, scatter_points_cuda.cu:155-158).
+    n = data.shape[0]
+    gathered = jnp.concatenate([out, jnp.zeros_like(out[:1])],
+                               axis=0)[segment_ids]
+    is_max = (data == gathered) & (segment_ids < num_segments)[:, None]
+    idx = jnp.arange(n, dtype=jnp.int32)[:, None]
+    cand = jnp.where(is_max, idx, n)  # n = sentinel "no winner"
+    winner = jax.ops.segment_min(cand, segment_ids,
+                                 num_segments=num_segments + 1)[:num_segments]
+    return out, (winner, n, data.shape)
+
+
+def _smax_bwd(num_segments, res, g):
+    winner, n, data_shape = res
+    # scatter g[v, c] to point winner[v, c]; sentinel n rows dropped.
+    dpoints = jnp.zeros(data_shape, dtype=g.dtype)
+    v_ids = jnp.broadcast_to(
+        jnp.arange(num_segments, dtype=jnp.int32)[:, None], winner.shape)
+    c_ids = jnp.broadcast_to(
+        jnp.arange(winner.shape[1], dtype=jnp.int32)[None, :], winner.shape)
+    safe_w = jnp.where(winner < n, winner, n - 1)
+    contrib = jnp.where(winner < n, g, 0.0)
+    dpoints = dpoints.at[safe_w.reshape(-1),
+                         c_ids.reshape(-1)].add(contrib.reshape(-1))
+    return dpoints, None
+
+
+segment_max_lowtie.defvjp(_smax_fwd, _smax_bwd)
+
+
+# --------------------------------------------------------------------------
+# Scatter construction: sort-based dedup (replaces at::unique_dim,
+# scatter_points_cuda.cu:221-251)
+# --------------------------------------------------------------------------
+def build_scatter(coords, spatial_shape: Sequence[int],
+                  max_voxels: int) -> Scatter:
+    """Build the compact point->voxel mapping from integer coords.
+
+    Args:
+        coords: (N, C) int32 voxel coords; a row with any value < 0 is
+            invalid.  C in {3, 4}: 3 = (ix, iy, iz) single-sample; 4 =
+            (batch, ix, iy, iz) batched (reference 3/4-col convention,
+            scatter.py:97-113 — here vectorized, no per-sample python loop).
+        spatial_shape: static extents per coord column (batch size first for
+            4-col), used to linearize coords to scalar keys.
+        max_voxels: static output capacity.
+
+    Returns a :class:`Scatter`.
+    """
+    coords = coords.astype(jnp.int32)
+    n, c = coords.shape
+    assert len(spatial_shape) == c, (spatial_shape, c)
+
+    total = 1
+    for s in spatial_shape:
+        total *= int(s)
+    assert total < 2 ** 31 - 1, (
+        f'linearized key space {total} overflows int32; shrink the grid or '
+        f'split the batch axis')
+
+    valid = jnp.all(coords >= 0, axis=-1)
+    # Linearize; key for invalid = MAX so they sort last.
+    mult = 1
+    key = jnp.zeros((n,), dtype=jnp.int32)
+    for d in range(c - 1, -1, -1):
+        key = key + coords[:, d] * mult
+        mult *= int(spatial_shape[d])
+    int32_max = jnp.iinfo(jnp.int32).max
+    key = jnp.where(valid, key, int32_max)
+
+    order = jnp.argsort(key)
+    sorted_key = key[order]
+    # new-segment flags on the sorted keys
+    first = jnp.concatenate([
+        jnp.ones((1,), dtype=jnp.int32),
+        (sorted_key[1:] != sorted_key[:-1]).astype(jnp.int32)])
+    first = jnp.where(sorted_key == int32_max, 0, first)
+    seg_sorted = jnp.cumsum(first) - 1  # compact id in sorted order
+    num_voxels = jnp.maximum(seg_sorted[-1] + 1, 0)
+    # invalid points and overflow voxels -> trash id max_voxels
+    seg_sorted = jnp.where(
+        (sorted_key == int32_max) | (seg_sorted >= max_voxels),
+        max_voxels, seg_sorted)
+
+    # unsort back to original point order
+    point_voxel_ids = jnp.zeros((n,), dtype=jnp.int32).at[order].set(
+        seg_sorted.astype(jnp.int32))
+
+    ones = jnp.ones((n, 1), dtype=jnp.int32)
+    voxel_counts = _segment_sum_nd(ones, point_voxel_ids, max_voxels)[:, 0]
+
+    # representative coords per voxel: min over member coords (identical)
+    big = jnp.iinfo(jnp.int32).max
+    masked_coords = jnp.where(valid[:, None], coords, big)
+    voxel_coords = jax.ops.segment_min(
+        masked_coords, point_voxel_ids,
+        num_segments=max_voxels + 1)[:max_voxels]
+    voxel_coords = jnp.where(voxel_counts[:, None] > 0, voxel_coords, -1)
+
+    return Scatter(point_voxel_ids=point_voxel_ids,
+                   voxel_coords=voxel_coords,
+                   voxel_counts=voxel_counts,
+                   num_voxels=num_voxels.astype(jnp.int32),
+                   max_voxels=max_voxels)
+
+
+def batch_coords(coords_3d, batch_idx):
+    """Prepend a batch column: (N,3)+(N,) -> (N,4); keeps -1 invalid rows."""
+    invalid = jnp.any(coords_3d < 0, axis=-1)
+    b = jnp.where(invalid, -1, batch_idx.astype(jnp.int32))
+    return jnp.concatenate([b[:, None], coords_3d], axis=-1)

@@ -1,0 +1,172 @@
+"""Data plane tests: pipeline transforms, padding/collate, shared memory
+store, GT-database sampler."""
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+from mmdet3d_gaussian_tpu.datasets.mem_util import SharedDictOfList, SharedList
+from mmdet3d_gaussian_tpu.datasets.dbsampler import (BatchSampler,
+                                                     DataBaseSampler)
+from mmdet3d_gaussian_tpu.datasets.pipelines import (Compose,
+                                                     GlobalRotScaleTrans,
+                                                     LabelIDMap,
+                                                     NormalizeIntensityTanh,
+                                                     ObjectRangeFilter, Pad3D,
+                                                     PointsRangeFilter,
+                                                     RandomFlip3D,
+                                                     collate_batch)
+
+
+def sample_results(n=500, g=6, seed=0):
+    rng = np.random.RandomState(seed)
+    return dict(
+        points=np.c_[rng.uniform(0, 60, (n, 1)), rng.uniform(-30, 30, (n, 1)),
+                     rng.uniform(-2, 0, (n, 1)),
+                     rng.rand(n, 1)].astype(np.float32),
+        gt_bboxes=np.c_[rng.uniform(5, 55, (g, 1)),
+                        rng.uniform(-25, 25, (g, 1)),
+                        rng.uniform(-2, -1, (g, 1)),
+                        rng.uniform(1, 4, (g, 3)),
+                        rng.uniform(-3, 3, (g, 1))].astype(np.float32),
+        gt_labels=rng.randint(0, 3, g).astype(np.int64))
+
+
+def test_range_filters():
+    r = sample_results()
+    r = PointsRangeFilter([0, -20, -3, 40, 20, 1])(r)
+    p = r['points']
+    assert (p[:, 0] >= 0).all() and (p[:, 0] < 40).all()
+    assert (np.abs(p[:, 1]) <= 20).all()
+    r = ObjectRangeFilter([0, -20, -3, 40, 20, 1])(r)
+    gt = r['gt_bboxes']
+    assert (gt[:, 0] < 40).all() and (np.abs(gt[:, 1]) < 20).all()
+    assert len(gt) == len(r['gt_labels'])
+
+
+def test_flip_consistency():
+    r = sample_results(seed=1)
+    pts0 = r['points'].copy()
+    gt0 = r['gt_bboxes'].copy()
+    t = RandomFlip3D(flip_ratio_bev_horizontal=1.0, seed=0)
+    r = t(r)
+    np.testing.assert_allclose(r['points'][:, 1], -pts0[:, 1])
+    np.testing.assert_allclose(r['gt_bboxes'][:, 1], -gt0[:, 1])
+    np.testing.assert_allclose(r['gt_bboxes'][:, 6], -gt0[:, 6])
+
+
+def test_rot_scale_preserves_relative_geometry():
+    r = sample_results(seed=2)
+    # place a point exactly at a gt center: must remain at the center
+    r['points'][0, :3] = r['gt_bboxes'][0, :3]
+    t = GlobalRotScaleTrans(rot_range=(-0.5, 0.5),
+                            scale_ratio_range=(0.9, 1.1),
+                            translation_std=(0.2, 0.2, 0.2), seed=3)
+    r = t(r)
+    np.testing.assert_allclose(r['points'][0, :3], r['gt_bboxes'][0, :3],
+                               atol=1e-5)
+
+
+def test_intensity_tanh():
+    r = sample_results(seed=3)
+    i0 = r['points'][:, 3].copy()
+    r = NormalizeIntensityTanh(pre_gain=2.0, post_gain=0.5)(r)
+    np.testing.assert_allclose(r['points'][:, 3], 0.5 * np.tanh(2.0 * i0),
+                               rtol=1e-6)
+
+
+def test_label_id_map():
+    r = sample_results(seed=4)
+    r['gt_labels'] = np.array([0, 1, 2, 0, 1, 2])
+    r = LabelIDMap(mapping={0: 1, 2: 0})(r)     # class 1 dropped
+    assert set(r['gt_labels']) <= {0, 1}
+    assert len(r['gt_bboxes']) == len(r['gt_labels']) == 4
+
+
+def test_pad_and_collate():
+    samples = []
+    for seed in range(3):
+        r = sample_results(n=300 + seed * 100, seed=seed)
+        samples.append(Pad3D(num_points=512, num_gt=16)(r))
+    batch = collate_batch(samples)
+    assert batch['points'].shape == (3, 512, 4)
+    assert batch['points_mask'].shape == (3, 512)
+    assert batch['gt_bboxes'].shape == (3, 16, 7)
+    assert batch['gt_valid'].sum() == 18  # 6 gts each
+    # mask exactly covers the real points
+    assert batch['points_mask'][0].sum() == 300
+
+
+def test_compose_from_config_dicts():
+    pipeline = Compose([
+        dict(type='PointsRangeFilter',
+             point_cloud_range=[0, -40, -3, 70, 40, 1]),
+        dict(type='ObjectRangeFilter',
+             point_cloud_range=[0, -40, -3, 70, 40, 1]),
+        dict(type='Pad3D', num_points=256, num_gt=8),
+    ])
+    out = pipeline(sample_results(seed=5))
+    assert out['points'].shape == (256, 4)
+
+
+# ---------------------------------------------------------------- shm
+def test_shared_list_roundtrip():
+    data = [{'a': np.arange(5)}, 'hello', 123]
+    sl = SharedList(data)
+    try:
+        attached = SharedList(name=sl.name)
+        assert len(attached) == 3
+        np.testing.assert_array_equal(attached[0]['a'], np.arange(5))
+        assert attached[1] == 'hello'
+        assert attached[2] == 123
+    finally:
+        sl.cleanup()
+
+
+def test_shared_dict_of_list():
+    d = SharedDictOfList({'Car': [1, 2, 3], 'Ped': ['x']})
+    attached = SharedDictOfList(name=d.name)
+    assert set(attached.keys()) == {'Car', 'Ped'}
+    assert attached['Car'][1] == 2
+    assert attached['Ped'][0] == 'x'
+
+
+# ---------------------------------------------------------------- sampler
+def test_dbsampler(tmp_path):
+    rng = np.random.RandomState(0)
+    db_infos = {'Car': [], 'Pedestrian': []}
+    os.makedirs(tmp_path / 'patches', exist_ok=True)
+    for cls, n, dims in (('Car', 10, [4, 1.8, 1.5]),
+                         ('Pedestrian', 6, [0.8, 0.6, 1.7])):
+        for i in range(n):
+            pts = rng.randn(30, 4).astype(np.float32) * 0.3
+            path = f'patches/{cls}_{i}.npy'
+            np.save(tmp_path / path, pts)
+            box = np.r_[rng.uniform(-20, 20, 2), [-1.5], dims,
+                        rng.uniform(-3, 3, 1)].astype(np.float32)
+            db_infos[cls].append(dict(
+                name=cls, path=path, box3d_lidar=box,
+                num_points_in_gt=30, difficulty=0))
+    info_path = tmp_path / 'dbinfos.pkl'
+    with open(info_path, 'wb') as f:
+        pickle.dump(db_infos, f)
+
+    sampler = DataBaseSampler(
+        info_path=str(info_path), data_root=str(tmp_path), rate=1.0,
+        prepare=dict(filter_by_min_points=dict(Car=5, Pedestrian=5)),
+        sample_groups=dict(Car=5, Pedestrian=5),
+        classes=['Pedestrian', 'Cyclist', 'Car'],
+        points_loader=dict(load_dim=4, use_dim=4), seed=0)
+
+    gt = np.zeros((1, 7), np.float32)
+    gt[0, :2] = 100  # far away, no collisions
+    out = sampler.sample_all(gt, np.array([2]))
+    assert out is not None
+    assert len(out['gt_bboxes']) == len(out['gt_labels'])
+    assert out['points'].shape[1] == 4
+    # sampled boxes must not collide with each other
+    from mmdet3d_gaussian_tpu.datasets.dbsampler import _boxes_collide_bev
+    coll = _boxes_collide_bev(out['gt_bboxes'], out['gt_bboxes'])
+    np.fill_diagonal(coll, False)
+    assert not coll.any()

@@ -1,0 +1,77 @@
+#!/usr/bin/env python
+"""Training CLI (reference ``tools/train.py`` counterpart).
+
+Loads a python config (``--cfg-options`` nested overrides supported), builds
+dataset + detector + optimizer, runs the jitted SPMD train loop over the
+available chips (DP over a ``Mesh(('data',))``), checkpoints with orbax, and
+optionally evaluates each ``--eval-interval`` epochs.
+
+Multi-host: run one process per host with ``jax.distributed.initialize``
+(env-driven) — the same code path; XLA handles cross-host collectives.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description='Train a TPU 3D detector')
+    p.add_argument('config', help='config file path')
+    p.add_argument('--work-dir', default=None)
+    p.add_argument('--resume-from', default=None)
+    p.add_argument('--seed', type=int, default=0)
+    p.add_argument('--max-steps', type=int, default=None,
+                   help='override total optimization steps')
+    p.add_argument('--eval-interval', type=int, default=0)
+    p.add_argument('--cfg-options', nargs='+', default=[],
+                   help='key=value nested config overrides')
+    p.add_argument('--distributed', action='store_true',
+                   help='call jax.distributed.initialize() (multi-host)')
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    if args.distributed:
+        import jax
+        jax.distributed.initialize()
+    import jax
+    import jax.numpy as jnp
+    import mmdet3d_gaussian_tpu  # noqa: F401 (registers everything)
+    from mmdet3d_gaussian_tpu.utils.config import Config
+    from mmdet3d_gaussian_tpu.engine.detector import PointPillarsDetector
+    from mmdet3d_gaussian_tpu.engine.loop import (build_dataloader,
+                                                  run_training)
+
+    cfg = Config.fromfile(args.config)
+    if args.cfg_options:
+        opts = {}
+        for kv in args.cfg_options:
+            k, v = kv.split('=', 1)
+            try:
+                v = json.loads(v)
+            except json.JSONDecodeError:
+                pass
+            opts[k] = v
+        cfg.merge_from_dict(opts)
+
+    work_dir = args.work_dir or cfg.get(
+        'work_dir', os.path.join('work_dirs',
+                                 os.path.splitext(
+                                     os.path.basename(args.config))[0]))
+    os.makedirs(work_dir, exist_ok=True)
+
+    det = PointPillarsDetector(model_cfg=cfg.get('model'),
+                               head_cfg=cfg.get('head'))
+    run_training(det, cfg, work_dir, seed=args.seed,
+                 max_steps=args.max_steps, resume_from=args.resume_from,
+                 eval_interval=args.eval_interval)
+
+
+if __name__ == '__main__':
+    main()
