@@ -144,3 +144,98 @@ def synthetic_batch(batch_size: int = 2, num_points: int = 8192,
     return dict(points=jnp.asarray(points), points_mask=jnp.asarray(mask),
                 gt_bboxes=jnp.asarray(gt), gt_labels=jnp.asarray(labels),
                 gt_valid=jnp.asarray(valid))
+
+
+# ---------------------------------------------------------------------------
+# CenterPoint family (reference configs/_base_/models/
+# centerpoint_02pillar_second_secfpn_nus.py + the GD yaw-mode variant)
+# ---------------------------------------------------------------------------
+NUS_CENTERPOINT_MODEL = dict(
+    voxel_size=(0.2, 0.2, 8.0),
+    point_cloud_range=(-51.2, -51.2, -5.0, 51.2, 51.2, 3.0),
+    max_points_per_voxel=20,
+    max_voxels_per_sample=30000,
+    voxelize_mode='dynamic',
+    head_type='center',
+    encoder_cfg=dict(in_channels=5, feat_channels=(64,)),
+    backbone_cfg=dict(in_channels=64, out_channels=(64, 128, 256),
+                      layer_nums=(3, 5, 5), layer_strides=(2, 2, 2)),
+    neck_cfg=dict(in_channels=(64, 128, 256), out_channels=(128, 128, 128),
+                  upsample_strides=(0.5, 1, 2)),
+)
+
+NUS_CENTERPOINT_HEAD = dict(
+    tasks=[
+        dict(num_classes=1), dict(num_classes=2), dict(num_classes=2),
+        dict(num_classes=1), dict(num_classes=2), dict(num_classes=2),
+    ],
+    out_size_factor=4,
+    with_vel=True,
+    code_weights=[1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 0.2, 0.2],
+    loss_cls=dict(type='GaussianFocalLoss', loss_weight=1.0),
+    loss_bbox=dict(type='L1Loss', loss_weight=0.25),
+    max_objs=100,
+    gaussian_overlap=0.1, min_radius=2.0,
+    test_cfg=dict(post_center_limit_range=[-61.2, -61.2, -10.0, 61.2, 61.2,
+                                           10.0],
+                  max_per_img=128, score_threshold=0.1, nms_type='rotate',
+                  nms_thr=0.2, post_max_size=83),
+)
+
+
+class CenterPointDetector:
+    """CenterPoint (pillar) assembly: dynamic pillars -> SECOND/FPN ->
+    multi-task CenterHead.  ``yaw_mode=True`` + ``loss_gd`` gives the
+    CenterGDHead variant (reference ``gd_centerpoint_head.py:364-443``)."""
+
+    def __init__(self, model_cfg: Optional[Dict[str, Any]] = None,
+                 head_cfg: Optional[Dict[str, Any]] = None,
+                 axis_name: Optional[str] = None):
+        from ..models.dense_heads.centerpoint_head import CenterHead
+        mc = dict(NUS_CENTERPOINT_MODEL)
+        mc.update(model_cfg or {})
+        hc = dict(NUS_CENTERPOINT_HEAD)
+        hc.update(head_cfg or {})
+        hc.setdefault('pc_range', mc['point_cloud_range'])
+        hc.setdefault('voxel_size', mc['voxel_size'])
+        self.head = CenterHead(**hc)
+        mc.setdefault('head_cfg', dict(
+            tasks=[dict(num_classes=t['num_classes'])
+                   for t in self.head.tasks],
+            in_channels=sum(mc['neck_cfg']['out_channels']),
+            common_heads=self.head.common_heads,
+        ))
+        self.trunk = PointPillarsNet(axis_name=axis_name, **mc)
+        self.model_cfg = mc
+        nx, ny = self.trunk._grid()
+        f = self.head.out_size_factor
+        self.featmap_size = (ny // f, nx // f)
+
+    def init(self, rng, batch):
+        return self.trunk.init(rng, batch['points'], batch['points_mask'],
+                               train=False)
+
+    def apply_train(self, variables, batch):
+        preds, aux = self.trunk.apply(
+            variables, batch['points'], batch['points_mask'], train=True,
+            mutable=['batch_stats'])
+        return preds, aux['batch_stats']
+
+    def apply_eval(self, variables, batch):
+        return self.trunk.apply(variables, batch['points'],
+                                batch['points_mask'], train=False)
+
+    def loss(self, preds, batch):
+        targets = jax.vmap(self.head.get_targets_single,
+                           in_axes=(0, 0, 0, None))(
+            batch['gt_bboxes'], batch['gt_labels'], batch['gt_valid'],
+            self.featmap_size)
+        losses = self.head.loss(preds, targets)
+        total = sum(losses.values())
+        return total, losses
+
+    def predict(self, variables, batch):
+        preds = self.apply_eval(variables, batch)
+        def single(i_preds):
+            return self.head.get_bboxes_single(i_preds)
+        return jax.vmap(single)(preds)

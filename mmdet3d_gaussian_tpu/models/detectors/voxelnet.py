@@ -27,6 +27,7 @@ from ...ops.voxelize import bev_scatter, hard_voxelize
 from ...registry import MODELS
 from ..backbones import SECOND, SECONDFPN
 from ..dense_heads.anchor3d_head import Anchor3DHeadConvs
+from ..dense_heads.centerpoint_head import CenterHeadConvs
 from ..voxel_encoders import DynamicPillarFeatureNet, PillarFeatureNet
 
 
@@ -38,6 +39,7 @@ class PointPillarsNet(nn.Module):
     max_points_per_voxel: int = 32
     max_voxels_per_sample: int = 16000
     voxelize_mode: str = 'hard'        # 'hard' | 'dynamic'
+    head_type: str = 'anchor'          # 'anchor' | 'center'
     encoder_cfg: Dict[str, Any] = None
     backbone_cfg: Dict[str, Any] = None
     neck_cfg: Dict[str, Any] = None
@@ -100,5 +102,8 @@ class PointPillarsNet(nn.Module):
                          **(self.neck_cfg or {}))
         feats = neck(backbone(canvas, train=train), train=train)
 
+        if self.head_type == 'center':
+            head = CenterHeadConvs(name='bbox_head', **(self.head_cfg or {}))
+            return head(feats, train=train)
         head = Anchor3DHeadConvs(name='bbox_head', **(self.head_cfg or {}))
         return head(feats)
