@@ -24,10 +24,13 @@ def main():
                                                       synthetic_batch)
     from mmdet3d_gaussian_tpu.parallel import train_state as ts
 
-    batch_size = 4
-    num_points = 16384
+    import os
+    batch_size = int(os.environ.get('BENCH_BATCH', 4))
+    num_points = int(os.environ.get('BENCH_POINTS', 16384))
+    bf16 = os.environ.get('BENCH_BF16', '0') == '1'
 
-    det = PointPillarsDetector()
+    det = PointPillarsDetector(
+        model_cfg=dict(compute_dtype='bfloat16') if bf16 else None)
     batch = synthetic_batch(batch_size=batch_size, num_points=num_points,
                             num_gt=16)
     variables = det.init(jax.random.PRNGKey(0), batch)

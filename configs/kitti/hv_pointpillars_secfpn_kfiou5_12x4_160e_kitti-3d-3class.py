@@ -1,0 +1,5 @@
+_base_ = './hv_pointpillars_secfpn_kld5tau1_12x4_160e_kitti-3d-3class.py'
+head = dict(
+    loss_decoded_bbox=dict(type='GDLoss', loss_type='kfiou3d',
+                           center_offset=(0, 0, 0.5), fun='expm1', tau=0.0,
+                           alpha=1.0, loss_weight=5.0))

@@ -1,0 +1,145 @@
+"""Waymo / nuScenes / Cowa dataset adapters.
+
+Re-provision of the reference adapters:
+* ``WaymoDatasetRev`` (``datasets/waymo_dataset.py:8-13``) — KITTI-format
+  Waymo infos with the annotation list shared across workers via
+  :class:`SharedList`.
+* ``NuScenesDatasetRev`` (``datasets/nuscenes_dataset.py:6-14``) — adds the
+  ``iou3d_err -> mAIE`` report name mapping on top of flexible eval.
+* ``CowaDataset`` (``datasets/cowa_dataset.py:10-235``) — 8-class in-house
+  KITTI-format dataset: flexible eval with RangeBreakdown(0-30/30-50/50+),
+  out-of-range GTs marked ignore.
+"""
+from __future__ import annotations
+
+import pickle
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from ..core.evaluation.mean_ap import eval_map_flexible
+from ..registry import DATASETS
+from .kitti import KittiDataset
+from .mem_util import SharedList
+from .pipelines import Compose
+
+
+@DATASETS.register_module()
+class WaymoDataset(KittiDataset):
+    """KITTI-format Waymo infos; annotations optionally /dev/shm-shared so N
+    dataloader workers mmap one copy (reference ``waymo_dataset.py:8-13``)."""
+    CLASSES = ('Car', 'Pedestrian', 'Cyclist')
+
+    def __init__(self, *args, use_shared_memory: bool = False, **kwargs):
+        super().__init__(*args, **kwargs)
+        if use_shared_memory:
+            self.data_infos = SharedList(list(self.data_infos))
+
+    def evaluate(self, results, metric='waymo', logger=None, **kwargs):
+        annotations = [self.get_ann_info(i) for i in range(len(self))]
+        return eval_map_flexible(
+            results, annotations, match_thrs=[0.7, 0.5],
+            affinity_calculator=dict(type='LidarIOU3D', z_offset=0.5),
+            classes=list(self.CLASSES), logger=logger,
+            breakdowns=[dict(type='RangeBreakdown',
+                             ranges=dict(D0_30=(0, 30), D30_50=(30, 50),
+                                         D50_inf=(50, 1e5)))],
+            report_config=[
+                ('mAP_L_0.7', lambda k: (k['breakdown'] == 'All'
+                                         and k['match_threshold'] == 0.7)),
+                ('mAP', lambda k: k['breakdown'] == 'All'),
+            ])
+
+
+@DATASETS.register_module()
+class NuScenesDataset:
+    """nuScenes 10-class dataset over mmdet3d-style info pkls."""
+    CLASSES = ('car', 'truck', 'trailer', 'bus', 'construction_vehicle',
+               'bicycle', 'motorcycle', 'pedestrian', 'traffic_cone',
+               'barrier')
+
+    def __init__(self, data_root: str, ann_file: str, pipeline: Sequence,
+                 classes: Optional[Sequence[str]] = None,
+                 test_mode: bool = False, with_velocity: bool = True):
+        self.data_root = data_root
+        self.test_mode = test_mode
+        self.with_velocity = with_velocity
+        self.CLASSES = tuple(classes) if classes else NuScenesDataset.CLASSES
+        self.cat2label = {c: i for i, c in enumerate(self.CLASSES)}
+        with open(ann_file, 'rb') as f:
+            data = pickle.load(f)
+        self.data_infos = data['infos'] if isinstance(data, dict) else data
+        self.pipeline = Compose(pipeline)
+
+    def __len__(self):
+        return len(self.data_infos)
+
+    def get_ann_info(self, idx) -> Dict:
+        info = self.data_infos[idx]
+        boxes = np.asarray(info['gt_boxes'], np.float32).reshape(-1, 7)
+        names = info['gt_names']
+        keep = [i for i, n in enumerate(names) if n in self.cat2label]
+        labels = np.array([self.cat2label[names[i]] for i in keep], np.int64)
+        boxes = boxes[keep]
+        if self.with_velocity and 'gt_velocity' in info:
+            vel = np.asarray(info['gt_velocity'], np.float32)[keep]
+            vel = np.nan_to_num(vel)
+            boxes = np.concatenate([boxes, vel], -1)
+        return dict(gt_bboxes=boxes, gt_labels=labels, gt_attrs={})
+
+    def __getitem__(self, idx):
+        info = self.data_infos[idx]
+        results = dict(pts_filename=info['lidar_path'], sample_idx=idx)
+        ann = self.get_ann_info(idx)
+        results['gt_bboxes'] = ann['gt_bboxes'].copy()
+        results['gt_labels'] = ann['gt_labels'].copy()
+        return self.pipeline(results)
+
+    def evaluate(self, results, metric='iou3d_err', logger=None, **kwargs):
+        """Flexible eval; the reference maps ``iou3d_err -> mAIE``
+        (``nuscenes_dataset.py:6-14``)."""
+        annotations = [self.get_ann_info(i) for i in range(len(self))]
+        rep = eval_map_flexible(
+            results, annotations, match_thrs=[0.5, 0.7],
+            affinity_calculator=dict(type='LidarIOU3D', z_offset=0.5),
+            classes=list(self.CLASSES), logger=logger,
+            report_config=[('mAIE', lambda k: k['breakdown'] == 'All')])
+        return rep
+
+
+@DATASETS.register_module()
+class CowaDataset(KittiDataset):
+    """8-class in-house KITTI-format dataset (reference
+    ``cowa_dataset.py:10-235``)."""
+    CLASSES = ('car', 'truck', 'bus', 'engineering_vehicle', 'pedestrian',
+               'bicycle', 'tricycle', 'cone')
+
+    def __init__(self, *args, eval_point_cloud_range=None, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.eval_point_cloud_range = eval_point_cloud_range
+
+    def get_ann_info(self, idx):
+        ann = super().get_ann_info(idx)
+        # GTs outside the eval range become ignore (reference :176-180)
+        if self.eval_point_cloud_range is not None and len(
+                ann['gt_bboxes']):
+            pcr = np.asarray(self.eval_point_cloud_range)
+            xy = ann['gt_bboxes'][:, :2]
+            inside = ((xy[:, 0] >= pcr[0]) & (xy[:, 0] < pcr[3])
+                      & (xy[:, 1] >= pcr[1]) & (xy[:, 1] < pcr[4]))
+            ann['gt_attrs']['ignore'] = ~inside
+        return ann
+
+    def evaluate(self, results, metric='cowa', logger=None, **kwargs):
+        annotations = [self.get_ann_info(i) for i in range(len(self))]
+        return eval_map_flexible(
+            results, annotations, match_thrs=[0.7, 0.5, 0.3],
+            affinity_calculator=dict(type='LidarIOU3D', z_offset=0.5),
+            classes=list(self.CLASSES), logger=logger,
+            breakdowns=[dict(type='RangeBreakdown',
+                             ranges=dict(D0_30=(0, 30), D30_50=(30, 50),
+                                         D50_inf=(50, 1e5)))],
+            report_config=[
+                ('mAP', lambda k: k['breakdown'] == 'All'),
+                ('mAP_near', lambda k: k['breakdown'] == 'D0_30'),
+            ])

@@ -1,1 +1,1 @@
-from . import detector  # noqa: F401
+from . import detector, loop, pvrcnn  # noqa: F401

@@ -21,6 +21,7 @@ class ConvBNReLU(nn.Module):
     kernel: int = 3
     stride: int = 1
     axis_name: Optional[str] = None
+    dtype: Optional[str] = None    # compute dtype ('bfloat16' for MXU speed)
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -28,7 +29,7 @@ class ConvBNReLU(nn.Module):
         x = nn.Conv(self.out_channels, (self.kernel, self.kernel),
                     strides=(self.stride, self.stride),
                     padding=((pad, pad), (pad, pad)), use_bias=False,
-                    name='conv')(x)
+                    dtype=self.dtype, name='conv')(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.99,
                          epsilon=1e-3, axis_name=self.axis_name,
                          name='bn')(x)
@@ -47,6 +48,7 @@ class SECOND(nn.Module):
     layer_nums: Sequence[int] = (3, 5, 5)
     layer_strides: Sequence[int] = (2, 2, 2)
     axis_name: Optional[str] = None
+    dtype: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -59,9 +61,11 @@ class SECOND(nn.Module):
                     f'divisible by stride {stride} — pick a BEV canvas '
                     f'divisible by the cumulative stride product')
             x = ConvBNReLU(ch, stride=stride, axis_name=self.axis_name,
+                           dtype=self.dtype,
                            name=f'stage{i}_down')(x, train)
             for j in range(num):
                 x = ConvBNReLU(ch, axis_name=self.axis_name,
+                               dtype=self.dtype,
                                name=f'stage{i}_block{j}')(x, train)
             outs.append(x)
         return outs
@@ -78,6 +82,7 @@ class SECONDFPN(nn.Module):
     out_channels: Sequence[int] = (128, 128, 128)
     upsample_strides: Sequence[int] = (1, 2, 4)
     axis_name: Optional[str] = None
+    dtype: Optional[str] = None
 
     @nn.compact
     def __call__(self, feats, train: bool = False):
@@ -86,11 +91,12 @@ class SECONDFPN(nn.Module):
                                            self.upsample_strides)):
             if s > 1:
                 x = nn.ConvTranspose(ch, (s, s), strides=(s, s),
-                                     use_bias=False, name=f'deblock{i}_conv')(x)
+                                     use_bias=False, dtype=self.dtype,
+                                     name=f'deblock{i}_conv')(x)
             else:
                 k = max(1, int(round(1 / s)))
                 x = nn.Conv(ch, (k, k), strides=(k, k), use_bias=False,
-                            name=f'deblock{i}_conv')(x)
+                            dtype=self.dtype, name=f'deblock{i}_conv')(x)
             x = nn.BatchNorm(use_running_average=not train, momentum=0.99,
                              epsilon=1e-3, axis_name=self.axis_name,
                              name=f'deblock{i}_bn')(x)

@@ -38,13 +38,16 @@ class PointPillarsNet(nn.Module):
     point_cloud_range: Sequence[float] = (0., -39.68, -3., 69.12, 39.68, 1.)
     max_points_per_voxel: int = 32
     max_voxels_per_sample: int = 16000
-    voxelize_mode: str = 'hard'        # 'hard' | 'dynamic'
+    voxelize_mode: str = 'hard'        # 'hard' | 'dynamic' | 'mvf'
     head_type: str = 'anchor'          # 'anchor' | 'center'
     encoder_cfg: Dict[str, Any] = None
     backbone_cfg: Dict[str, Any] = None
     neck_cfg: Dict[str, Any] = None
     head_cfg: Dict[str, Any] = None
     axis_name: Optional[str] = None
+    compute_dtype: Optional[str] = None   # 'bfloat16' = mixed precision
+                                          # (the reference's fp16 analogue;
+                                          # BN/loss stay f32)
 
     def _grid(self) -> Tuple[int, int]:
         pcr, vs = self.point_cloud_range, self.voxel_size
@@ -62,6 +65,28 @@ class PointPillarsNet(nn.Module):
         nx, ny = self._grid()
         max_voxels = self.max_voxels_per_sample * b
 
+        if self.voxelize_mode == 'mvf':
+            from ..mvf_encoder import PillarMVFFeatureNet
+            enc_cfg = dict(self.encoder_cfg or {})
+            enc_cfg.setdefault('max_voxels', max_voxels)
+            encoder = PillarMVFFeatureNet(axis_name=self.axis_name,
+                                          name='voxel_encoder', **enc_cfg)
+            pillar_feats, coords_v, (nx, ny) = encoder(points, points_mask,
+                                                       train=train)
+            canvas = bev_scatter(pillar_feats, coords_v, b, nx, ny)
+            backbone = SECOND(axis_name=self.axis_name, name='backbone',
+                              **(self.backbone_cfg or {}))
+            neck = SECONDFPN(axis_name=self.axis_name, name='neck',
+                             **(self.neck_cfg or {}))
+            feats = neck(backbone(canvas, train=train), train=train)
+            if self.head_type == 'center':
+                head = CenterHeadConvs(name='bbox_head',
+                                       **(self.head_cfg or {}))
+                return head(feats, train=train)
+            head = Anchor3DHeadConvs(name='bbox_head',
+                                     **(self.head_cfg or {}))
+            return head(feats)
+
         flat = points.reshape(b * n, cdim)
         batch_idx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), n)
         coords3, _ = compute_voxel_coords(
@@ -75,6 +100,7 @@ class PointPillarsNet(nn.Module):
                               / self.voxel_size[2])))
         spatial = (b, nx, ny, nz)
 
+        dt = jnp.bfloat16 if self.compute_dtype == 'bfloat16' else None
         enc_cfg = dict(self.encoder_cfg or {})
         enc_cfg.setdefault('voxel_size', self.voxel_size)
         enc_cfg.setdefault('point_cloud_range', self.point_cloud_range)
@@ -82,7 +108,7 @@ class PointPillarsNet(nn.Module):
         if self.voxelize_mode == 'hard':
             hv = hard_voxelize(flat, coords4, spatial,
                                self.max_points_per_voxel, max_voxels)
-            encoder = PillarFeatureNet(axis_name=self.axis_name,
+            encoder = PillarFeatureNet(axis_name=self.axis_name, dtype=dt,
                                        name='voxel_encoder', **enc_cfg)
             pillar_feats = encoder(hv.voxels, hv.coords, hv.num_points,
                                    train=train)
@@ -95,10 +121,12 @@ class PointPillarsNet(nn.Module):
             coords_v = scatter.voxel_coords
 
         canvas = bev_scatter(pillar_feats, coords_v, b, nx, ny)
+        if dt is not None:
+            canvas = canvas.astype(dt)
 
-        backbone = SECOND(axis_name=self.axis_name, name='backbone',
-                          **(self.backbone_cfg or {}))
-        neck = SECONDFPN(axis_name=self.axis_name, name='neck',
+        backbone = SECOND(axis_name=self.axis_name, dtype=dt,
+                          name='backbone', **(self.backbone_cfg or {}))
+        neck = SECONDFPN(axis_name=self.axis_name, dtype=dt, name='neck',
                          **(self.neck_cfg or {}))
         feats = neck(backbone(canvas, train=train), train=train)
 

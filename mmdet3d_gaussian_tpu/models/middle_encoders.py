@@ -1,0 +1,270 @@
+"""Middle encoders: multi-level sparse 3D encoder + voxel set abstraction.
+
+TPU-native redesign of the reference PV-RCNN middle stage:
+
+* :class:`MlvlSparseEncoder` — the spconv ``SparseEncoder`` variant that
+  returns every intermediate sparse level plus the dense BEV map (reference
+  ``models/middle_encoders/mlvl_sparse_encoder.py:11-32``), rebuilt on
+  the gather+img2col sparse convs in ``ops/sparse_conv.py``.  Standard
+  mmdet3d topology: SubM input conv; 4 stages (SubM blocks, stages 2-4 led
+  by a stride-2 sparse conv); (3,1,1)/(2,1,1) out conv; z-axis folded into
+  BEV channels.
+* :class:`VoxelSetAbstraction` — FPS keypoints + BEV bilinear interpolation
+  + multi-scale set abstraction over sparse levels and raw points
+  (reference ``voxel_set_abstraction.py:94-329``).  The CUDA stacked-batch
+  + ``batch_cnt`` bookkeeping becomes a plain ``vmap`` over samples with
+  per-sample support masks.
+* :class:`GuidedSAModuleMSG` — per-radius query&group -> pointwise MLP ->
+  max/avg pool -> concat (reference ``voxel_set_abstraction.py:10-91``).
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.sparse_conv import (SparseTensor, make_sparse_tensor,
+                               sparse_conv3d, sparse_to_dense,
+                               submanifold_conv3d)
+from ..ops.vsa import furthest_point_sample, query_and_group
+from ..registry import MODELS
+from .voxel_encoders import MaskedBatchNorm
+
+
+class SparseConvBlock(nn.Module):
+    """One sparse conv (subm or strided) + masked BN + ReLU."""
+    out_channels: int
+    kernel: Tuple[int, int, int] = (3, 3, 3)
+    stride: int = 1
+    out_capacity: Optional[int] = None   # required when stride > 1
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, st: SparseTensor, train: bool) -> SparseTensor:
+        k = int(np.prod(self.kernel))
+        cin = st.feats.shape[-1]
+        w = self.param('kernel', nn.initializers.lecun_normal(),
+                       (k, cin, self.out_channels), jnp.float32)
+        if self.stride == 1 and self.kernel == (3, 3, 3):
+            out = submanifold_conv3d(st, w)
+        else:
+            out = sparse_conv3d(st, w, self.stride,
+                                self.out_capacity or st.feats.shape[0],
+                                kernel_size=self.kernel)
+        bn = MaskedBatchNorm(axis_name=self.axis_name, name='bn')
+        feats = bn(out.feats, mask=out.valid, use_running_average=not train)
+        feats = nn.relu(feats) * out.valid[:, None]
+        return out._replace(feats=feats)
+
+
+@MODELS.register_module()
+class MlvlSparseEncoder(nn.Module):
+    in_channels: int = 4
+    sparse_shape: Sequence[int] = (41, 1600, 1408)   # (Z, Y, X)
+    base_channels: int = 16
+    encoder_channels: Sequence[Sequence[int]] = (
+        (16,), (32, 32, 32), (64, 64, 64), (64, 64, 64))
+    out_channels: int = 128
+    capacity: int = 16000
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, voxel_feats, voxel_coords, batch_size: int,
+                 train: bool = False):
+        """voxel_feats (V, C); voxel_coords (V, 4) = (b, z, y, x), -1 pad.
+
+        Returns (levels, bev): levels = list of SparseTensor per scale
+        (factors 1, 2, 4, 8), bev = (B, ny/8, nx/8, out_channels * z_out).
+        """
+        nz, ny, nx = self.sparse_shape
+        st = make_sparse_tensor(voxel_feats, voxel_coords,
+                                (batch_size, nz, ny, nx))
+        st = SparseConvBlock(self.base_channels, axis_name=self.axis_name,
+                             name='conv_input')(st, train)
+
+        levels = []
+        for i, stage in enumerate(self.encoder_channels):
+            for j, ch in enumerate(stage):
+                if i > 0 and j == 0:
+                    st = SparseConvBlock(
+                        ch, stride=2, out_capacity=self.capacity,
+                        axis_name=self.axis_name,
+                        name=f'stage{i}_down')(st, train)
+                else:
+                    st = SparseConvBlock(ch, axis_name=self.axis_name,
+                                         name=f'stage{i}_subm{j}')(st, train)
+            levels.append(st)
+
+        # out conv: (3,1,1) stride (2,1,1) on z only
+        out = SparseConvBlock(self.out_channels, kernel=(3, 1, 1),
+                              stride=(2, 1, 1), out_capacity=self.capacity,
+                              axis_name=self.axis_name,
+                              name='conv_out')(st, train)
+        dense = sparse_to_dense(out)                 # (B, Zo, Yo, Xo, C)
+        b, zo, yo, xo, c = dense.shape
+        bev = jnp.transpose(dense, (0, 2, 3, 1, 4)).reshape(b, yo, xo,
+                                                            zo * c)
+        return levels, bev
+
+
+class GuidedSAModuleMSG(nn.Module):
+    """Multi-scale-group set abstraction, batched.
+
+    Pure geometry (ball query + grouping) is ``jax.vmap``-ped over the batch;
+    the learned MLP then runs on the batched (B, M, K, C) tensor directly —
+    flax submodules are never called inside a jax transform.
+    Support arrays may be per-sample (B, N, ...) or shared (N, ...) with a
+    per-sample mask (the voxel-SA case: one flat voxel table, batch column
+    selected by mask).
+    """
+    radii: Sequence[float]
+    nsamples: Sequence[int]
+    mlps: Sequence[Sequence[int]]
+    use_xyz: bool = True
+    pool_method: str = 'max'
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, support_xyz, support_feats, query_xyz, support_mask,
+                 train: bool = False):
+        """support (B|_, N, 3)+(B|_, N, C), query (B, M, 3),
+        mask (B, N) -> (B, M, sum(mlp[-1]))."""
+        shared = support_xyz.ndim == 2
+        sup_ax = None if shared else 0
+        outs = []
+        for i, (radius, nsample, mlp) in enumerate(
+                zip(self.radii, self.nsamples, self.mlps)):
+            def qg(sx, sf, q, m, radius=radius, nsample=nsample):
+                return query_and_group(radius, nsample, sx, q, features=sf,
+                                       support_mask=m, use_xyz=self.use_xyz)
+
+            grouped, idx = jax.vmap(qg, in_axes=(sup_ax, sup_ax, 0, 0))(
+                support_xyz, support_feats, query_xyz, support_mask)
+            y = grouped                                  # (B, M, K, C')
+            ok = idx >= 0                                # (B, M, K)
+            for j, ch in enumerate(mlp):
+                y = nn.Dense(ch, use_bias=False,
+                             name=f'scale{i}_mlp{j}')(y)
+                y = MaskedBatchNorm(axis_name=self.axis_name,
+                                    name=f'scale{i}_bn{j}')(
+                    y, mask=ok, use_running_average=not train)
+                y = nn.relu(y)
+            if self.pool_method == 'max':
+                y = jnp.max(jnp.where(ok[..., None], y, -1e4), axis=2)
+                y = jnp.where(jnp.any(ok, 2)[..., None], y, 0.0)
+            else:
+                cnt = jnp.maximum(jnp.sum(ok, 2), 1)[..., None]
+                y = jnp.sum(y * ok[..., None], 2) / cnt
+            outs.append(y)
+        return jnp.concatenate(outs, axis=-1)
+
+
+def bilinear_sample_bev(bev, xy, pc_range, cell_size, align: str = 'half'):
+    """Bilinear sample (H, W, C) BEV at metric xy (M, 2) — the TPU analogue
+    of the reference's ``F.grid_sample`` path
+    (``interpolate_from_bev_features``, :153-177, align_corners=True)."""
+    h, w, c = bev.shape
+    tl = jnp.asarray(pc_range[:2])
+    br = jnp.asarray(pc_range[3:5])
+    cs = jnp.asarray(cell_size)
+    if align == 'half':
+        tl = tl + 0.5 * cs
+        br = br - 0.5 * cs
+    u = (xy[:, 0] - tl[0]) / (br[0] - tl[0]) * (w - 1)
+    v = (xy[:, 1] - tl[1]) / (br[1] - tl[1]) * (h - 1)
+    u = jnp.clip(u, 0, w - 1)
+    v = jnp.clip(v, 0, h - 1)
+    u0 = jnp.clip(jnp.floor(u).astype(jnp.int32), 0, w - 2)
+    v0 = jnp.clip(jnp.floor(v).astype(jnp.int32), 0, h - 2)
+    du = (u - u0)[:, None]
+    dv = (v - v0)[:, None]
+    f00 = bev[v0, u0]
+    f01 = bev[v0, u0 + 1]
+    f10 = bev[v0 + 1, u0]
+    f11 = bev[v0 + 1, u0 + 1]
+    return ((1 - dv) * ((1 - du) * f00 + du * f01)
+            + dv * ((1 - du) * f10 + du * f11))
+
+
+@MODELS.register_module()
+class VoxelSetAbstraction(nn.Module):
+    num_keypoints: int = 2048
+    out_channels: int = 128
+    voxel_size: Sequence[float] = (0.05, 0.05, 0.1)
+    point_cloud_range: Sequence[float] = (0, -40, -3, 70.4, 40, 1)
+    voxel_sa_configs: Sequence[Dict[str, Any]] = ()
+    rawpoint_sa_config: Optional[Dict[str, Any]] = None
+    bev_sa_config: Optional[Dict[str, Any]] = None
+    voxel_center_align: str = 'half'
+    axis_name: Optional[str] = None
+
+    def voxel_centers(self, coords_zyx, scale_factor: float):
+        """(V, 3) int (z, y, x) -> metric centers (reference
+        ``get_voxel_centers`` :179-193)."""
+        xyz = coords_zyx[:, ::-1].astype(jnp.float32)
+        vs = jnp.asarray(self.voxel_size)
+        pcr = jnp.asarray(self.point_cloud_range[:3])
+        ctr = xyz * vs * scale_factor + pcr
+        if self.voxel_center_align == 'half':
+            return ctr + 0.5 * vs * scale_factor
+        return ctr + 0.5 * vs   # 'halfmin'
+
+    @nn.compact
+    def __call__(self, levels: List[SparseTensor], points, points_mask,
+                 bev=None, train: bool = False):
+        """points (B, N, 3+C); levels: per-scale SparseTensors (batched
+        coords); bev (B, H, W, C).  Returns dict with keypoints (B, M, 3)
+        and fused features (B, M, out_channels)."""
+        bsz, n, _ = points.shape
+
+        def sample_keypoints(pts, mask):
+            return furthest_point_sample(pts[:, :3], self.num_keypoints,
+                                         mask)
+        kp_idx = jax.vmap(sample_keypoints)(points, points_mask)
+        keypoints = jax.vmap(lambda p, i: p[i, :3])(points, kp_idx)
+
+        feats_list = []
+        if self.bev_sa_config is not None and bev is not None:
+            sf = self.bev_sa_config['scale_factor']
+            cell = (self.voxel_size[0] * sf, self.voxel_size[1] * sf)
+            bev_feats = jax.vmap(
+                lambda bv, kp: bilinear_sample_bev(
+                    bv, kp[:, :2], self.point_cloud_range, cell,
+                    self.voxel_center_align))(bev, keypoints)
+            feats_list.append(bev_feats)
+
+        if self.rawpoint_sa_config is not None:
+            cfg = self.rawpoint_sa_config
+            sa = GuidedSAModuleMSG(
+                radii=cfg['pool_radius'], nsamples=cfg['samples'],
+                mlps=cfg['mlps'], axis_name=self.axis_name,
+                name='rawpoints_sa')
+            feats_list.append(sa(points[..., :3], points[..., 3:],
+                                 keypoints, points_mask, train))
+
+        for k, cfg in enumerate(self.voxel_sa_configs):
+            st = levels[k]
+            centers = self.voxel_centers(st.coords[:, 1:4],
+                                         cfg['scale_factor'])
+            sa = GuidedSAModuleMSG(
+                radii=cfg['pool_radius'], nsamples=cfg['samples'],
+                mlps=cfg['mlps'], axis_name=self.axis_name,
+                name=f'voxel_sa_{k}')
+            # shared support table; per-sample selection via mask
+            per_sample_mask = (st.valid[None, :]
+                               & (st.coords[None, :, 0]
+                                  == jnp.arange(bsz)[:, None]))
+            feats_list.append(sa(centers, st.feats, keypoints,
+                                 per_sample_mask, train))
+
+        gathered = jnp.concatenate(feats_list, axis=-1)
+        y = nn.Dense(self.out_channels, use_bias=False, name='fusion')(
+            gathered)
+        y = MaskedBatchNorm(axis_name=self.axis_name, name='fusion_bn')(
+            y, use_running_average=not train)
+        y = nn.relu(y)
+        return dict(keypoints=keypoints, keypoint_features=gathered,
+                    fusion_keypoint_features=y)

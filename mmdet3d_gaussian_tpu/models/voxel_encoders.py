@@ -97,11 +97,13 @@ class PFNLayer(nn.Module):
     out_channels: int
     last_layer: bool = False
     axis_name: Optional[str] = None
+    dtype: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, mask, train: bool):
         # x: (P, N, C); mask: (P, N) bool
-        y = nn.Dense(self.out_channels, use_bias=False, name='linear')(x)
+        y = nn.Dense(self.out_channels, use_bias=False, dtype=self.dtype,
+                     name='linear')(x)
         y = MaskedBatchNorm(axis_name=self.axis_name, name='norm')(
             y, mask=mask, use_running_average=not train)
         y = nn.relu(y)
@@ -133,6 +135,7 @@ class PillarFeatureNet(nn.Module):
     voxel_size: Sequence[float] = (0.16, 0.16, 4.0)
     point_cloud_range: Sequence[float] = (0., -39.68, -3., 69.12, 39.68, 1.)
     axis_name: Optional[str] = None
+    dtype: Optional[str] = None
 
     @nn.compact
     def __call__(self, voxels, coords, num_points, train: bool = False):
@@ -164,7 +167,8 @@ class PillarFeatureNet(nn.Module):
         x = jnp.concatenate(feats, axis=-1) * fmask
         for i, ch in enumerate(self.feat_channels):
             x = PFNLayer(ch, last_layer=(i == len(self.feat_channels) - 1),
-                         axis_name=self.axis_name, name=f'pfn_{i}')(
+                         axis_name=self.axis_name, dtype=self.dtype,
+                         name=f'pfn_{i}')(
                 x, mask, train)
         return x  # (P, C_out)
 

@@ -1,1 +1,1 @@
-from . import nms, rotated_iou, scatter, voxelize  # noqa: F401
+from . import heatmap, nms, rotated_iou, scatter, sparse_conv, voxelize, vsa  # noqa: F401

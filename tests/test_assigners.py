@@ -1,0 +1,89 @@
+"""MaxIoU + SimOTA assigner semantics."""
+import numpy as np
+import jax.numpy as jnp
+
+from mmdet3d_gaussian_tpu.core.bbox.assigners import (MaxIoUAssigner,
+                                                      SimOTABEVAssigner,
+                                                      bbox_overlaps_nearest_3d)
+
+
+def test_nearest_iou_identity():
+    boxes = jnp.asarray([[5, 5, -1, 4, 2, 1.5, 0.3]])
+    iou = np.asarray(bbox_overlaps_nearest_3d(boxes, boxes))
+    np.testing.assert_allclose(iou, 1.0, atol=1e-5)
+
+
+def test_maxiou_assigner_basic():
+    gts = jnp.asarray([
+        [10.0, 10.0, -1, 4, 2, 1.5, 0.0],
+        [30.0, -5.0, -1, 4, 2, 1.5, 0.0]])
+    anchors = jnp.asarray([
+        [10.0, 10.0, -1, 4, 2, 1.5, 0.0],   # exact match gt0 -> pos
+        [10.5, 10.0, -1, 4, 2, 1.5, 0.0],   # high IoU gt0 -> pos
+        [30.0, -5.0, -1, 4, 2, 1.5, 0.0],   # exact match gt1 -> pos
+        [50.0, 20.0, -1, 4, 2, 1.5, 0.0],   # nothing -> neg
+        [11.2, 10.0, -1, 4, 2, 1.5, 0.0],   # IoU 0.538 -> ignore band
+    ])
+    a = MaxIoUAssigner(pos_iou_thr=0.6, neg_iou_thr=0.45, min_pos_iou=0.45)
+    res = a.assign(anchors, gts, jnp.asarray([2, 2]), jnp.ones(2, bool))
+    got = np.asarray(res.assigned_gt)
+    assert got[0] == 1 and got[2] == 2
+    assert got[1] == 1
+    assert got[3] == 0
+    # anchor4 IoU with gt0 = 5.6/10.4 = 0.538 in [0.45, 0.6) -> ignore
+    assert got[4] == -1
+    labels = np.asarray(res.labels)
+    assert labels[0] == 2 and labels[3] == -1
+
+
+def test_maxiou_low_quality_match():
+    """A gt whose best anchor IoU is below pos_thr but >= min_pos_iou must
+    still claim that anchor (gt-max matching)."""
+    gts = jnp.asarray([[10.0, 10.0, -1, 4, 2, 1.5, 0.0]])
+    anchors = jnp.asarray([[11.7, 10.0, -1, 4, 2, 1.5, 0.0],
+                           [40.0, 0.0, -1, 4, 2, 1.5, 0.0]])
+    a = MaxIoUAssigner(pos_iou_thr=0.6, neg_iou_thr=0.45, min_pos_iou=0.3)
+    res = a.assign(anchors, gts, jnp.asarray([0]), jnp.ones(1, bool))
+    assert np.asarray(res.assigned_gt)[0] == 1
+
+
+def test_maxiou_no_gt():
+    anchors = jnp.asarray([[10.0, 10.0, -1, 4, 2, 1.5, 0.0]])
+    a = MaxIoUAssigner(pos_iou_thr=0.6, neg_iou_thr=0.45)
+    res = a.assign(anchors, jnp.zeros((2, 7)), jnp.zeros(2, jnp.int32),
+                   jnp.zeros(2, bool))
+    assert np.asarray(res.assigned_gt)[0] == 0   # everything negative
+
+
+def test_simota_assigns_in_box_priors():
+    gt = jnp.asarray([[5.0, 5.0, -1.5, 4.0, 2.0, 1.5, 0.0]])
+    # priors on a grid; some inside the gt box
+    xs, ys = np.meshgrid(np.arange(0, 10, 1.0), np.arange(0, 10, 1.0))
+    priors = np.stack([xs.ravel(), ys.ravel(),
+                       np.full(xs.size, 1.0)], -1).astype(np.float32)
+    # fake predictions: iou high for priors near the center
+    d = np.linalg.norm(priors[:, :2] - np.array([5.0, 5.0]), axis=-1)
+    ious = np.clip(1.0 - d / 5.0, 0, 1)[None, :]
+    scores = np.full((priors.shape[0], 3), 0.5, np.float32)
+
+    a = SimOTABEVAssigner(center_radius=2.5, candidate_topk=10)
+    res = a.assign(jnp.asarray(priors), jnp.asarray(scores),
+                   jnp.asarray(ious), gt, jnp.asarray([1]),
+                   jnp.ones(1, bool))
+    got = np.asarray(res.assigned_gt)
+    pos = got > 0
+    assert pos.sum() >= 1
+    # every positive prior is inside the box AND near the center
+    for i in np.where(pos)[0]:
+        assert abs(priors[i, 0] - 5.0) <= 2.0 + 1e-5
+        assert abs(priors[i, 1] - 5.0) <= 2.5 + 1e-5
+    assert (np.asarray(res.labels)[pos] == 1).all()
+
+
+def test_simota_no_gt():
+    priors = jnp.asarray([[1.0, 1.0, 1.0]])
+    a = SimOTABEVAssigner()
+    res = a.assign(priors, jnp.full((1, 3), 0.5), jnp.zeros((1, 1)),
+                   jnp.zeros((1, 7)), jnp.zeros(1, jnp.int32),
+                   jnp.zeros(1, bool))
+    assert np.asarray(res.assigned_gt)[0] == 0

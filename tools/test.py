@@ -1,0 +1,97 @@
+#!/usr/bin/env python
+"""Inference + evaluation CLI (reference ``tools/test.py`` counterpart).
+
+Loads a config + orbax checkpoint, runs the jitted predict function over the
+val split, converts fixed-size padded detections into per-class numpy arrays,
+and calls ``dataset.evaluate`` (the flexible COCO-style 3D mAP)."""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import numpy as np
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description='Test a TPU 3D detector')
+    p.add_argument('config')
+    p.add_argument('checkpoint', nargs='?', default=None)
+    p.add_argument('--metric', default='cowa')
+    p.add_argument('--out', default=None, help='dump results pkl')
+    p.add_argument('--cfg-options', nargs='+', default=[])
+    return p.parse_args()
+
+
+def detections_to_per_class(boxes, scores, labels, valid, num_classes):
+    """Padded (K, 7)/(K,)/(K,)/(K,) -> list of per-class (N, 8) arrays."""
+    boxes, scores = np.asarray(boxes), np.asarray(scores)
+    labels, valid = np.asarray(labels), np.asarray(valid)
+    out = []
+    for c in range(num_classes):
+        sel = valid & (labels == c)
+        out.append(np.concatenate(
+            [boxes[sel][:, :7], scores[sel][:, None]],
+            -1).astype(np.float32))
+    return out
+
+
+def main():
+    args = parse_args()
+    import jax
+    import mmdet3d_gaussian_tpu  # noqa: F401
+    from mmdet3d_gaussian_tpu.utils.config import Config
+    from mmdet3d_gaussian_tpu.engine.detector import PointPillarsDetector
+    from mmdet3d_gaussian_tpu.engine.loop import (build_dataloader,
+                                                  restore_checkpoint)
+
+    cfg = Config.fromfile(args.config)
+    if args.cfg_options:
+        opts = {}
+        for kv in args.cfg_options:
+            k, v = kv.split('=', 1)
+            try:
+                v = json.loads(v)
+            except json.JSONDecodeError:
+                pass
+            opts[k] = v
+        cfg.merge_from_dict(opts)
+
+    det = PointPillarsDetector(model_cfg=cfg.get('model'),
+                               head_cfg=cfg.get('head'))
+    ds, make_iter = build_dataloader(cfg, 'val')
+
+    first = next(make_iter(0))
+    first.pop('metas', None)
+    variables = det.init(jax.random.PRNGKey(0), first)
+    if args.checkpoint:
+        from mmdet3d_gaussian_tpu.parallel import train_state as ts
+        state = restore_checkpoint(
+            args.checkpoint,
+            ts.TrainState(step=0, params=variables['params'],
+                          batch_stats=variables['batch_stats'],
+                          opt_state=None))
+        variables = {'params': state.params,
+                     'batch_stats': state.batch_stats}
+
+    predict = jax.jit(det.predict)
+    num_classes = det.head.num_classes
+    results = []
+    for batch in make_iter(0):
+        metas = batch.pop('metas', None)
+        boxes, scores, labels, valid = predict(variables, batch)
+        for i in range(boxes.shape[0]):
+            results.append(detections_to_per_class(
+                boxes[i], scores[i], labels[i], valid[i], num_classes))
+
+    if args.out:
+        import pickle
+        with open(args.out, 'wb') as f:
+            pickle.dump(results, f)
+
+    report = ds.evaluate(results[:len(ds)], metric=args.metric)
+    print(json.dumps({k: float(v) for k, v in report.items()}, indent=2))
+
+
+if __name__ == '__main__':
+    main()
