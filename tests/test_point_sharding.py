@@ -1,0 +1,70 @@
+"""Point-axis sharding: sharded pillar reduce == single-device oracle."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from mmdet3d_gaussian_tpu.parallel.mesh import make_mesh
+from mmdet3d_gaussian_tpu.parallel.point_sharding import (
+    reference_pillar_reduce, sharded_pillar_reduce)
+
+
+PC_RANGE = (0., -6.4, -3., 12.8, 6.4, 1.)
+VOXEL = (0.4, 0.4, 4.0)
+NX, NY = 32, 32
+
+
+def make_points(n=1024, seed=0):
+    rng = np.random.RandomState(seed)
+    pts = np.c_[rng.uniform(0, 12.8, (n, 1)), rng.uniform(-6.4, 6.4, (n, 1)),
+                rng.uniform(-3, 1, (n, 1)), rng.rand(n, 1)].astype(np.float32)
+    mask = rng.rand(n) > 0.1
+    return jnp.asarray(pts), jnp.asarray(mask)
+
+
+@pytest.mark.parametrize('op', ['sum', 'mean', 'max'])
+def test_sharded_matches_reference(op):
+    assert jax.device_count() >= 8
+    mesh = make_mesh(8, ('data',))
+    pts, mask = make_points()
+    want = np.asarray(reference_pillar_reduce(pts, mask, PC_RANGE, VOXEL,
+                                              NX, NY, op))
+    got = np.asarray(sharded_pillar_reduce(pts, mask, PC_RANGE, VOXEL,
+                                           NX, NY, mesh, op=op))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_cross_shard_pillar_merge():
+    """Points of ONE pillar scattered across all 8 shards must merge."""
+    assert jax.device_count() >= 8
+    mesh = make_mesh(8, ('data',))
+    n = 64
+    pts = np.zeros((n, 4), np.float32)
+    pts[:, 0] = 5.03     # same cell for all points
+    pts[:, 1] = -1.17
+    pts[:, 3] = 1.0      # intensity 1 -> sum = n
+    mask = np.ones(n, bool)
+    out = np.asarray(sharded_pillar_reduce(
+        jnp.asarray(pts), jnp.asarray(mask), PC_RANGE, VOXEL, NX, NY,
+        mesh, op='sum'))
+    ix = int((5.03 - PC_RANGE[0]) / VOXEL[0])
+    iy = int((-1.17 - PC_RANGE[1]) / VOXEL[1])
+    np.testing.assert_allclose(out[iy, ix, 3], n, rtol=1e-6)
+    assert np.abs(out).sum() == pytest.approx(float(np.abs(
+        out[iy, ix]).sum()))
+
+
+def test_sharded_jit_grad():
+    """The sharded reduce differentiates (segment-sum VJP through psum)."""
+    mesh = make_mesh(8, ('data',))
+    pts, mask = make_points(seed=1)
+
+    @jax.jit
+    def f(p):
+        canvas = sharded_pillar_reduce(p, mask, PC_RANGE, VOXEL, NX, NY,
+                                       mesh, op='sum')
+        return jnp.sum(canvas ** 2)
+
+    g = jax.grad(f)(pts)
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.abs(g).sum()) > 0
