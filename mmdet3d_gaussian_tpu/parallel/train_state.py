@@ -43,12 +43,23 @@ def make_optimizer(base_lr: float, total_steps: int,
                    betas=(0.95, 0.99), weight_decay: float = 0.01,
                    grad_clip: float = 10.0,
                    target_ratio=(10.0, 1e-4), step_ratio_up: float = 0.4,
+                   momentum_target_ratio=None,
                    warmup: Optional[Dict[str, Any]] = None,
                    params_example=None) -> optax.GradientTransformation:
     lr_sched = cyclic_schedule(base_lr, total_steps, target_ratio,
                                step_ratio_up=step_ratio_up)
+    if momentum_target_ratio is not None:
+        # cyclic momentum (reference momentum_config, cyclic_40e.py:22-27):
+        # b1 cycles base*r_up -> base over the same one-cycle shape
+        b1_sched = cyclic_schedule(betas[0], total_steps,
+                                   momentum_target_ratio,
+                                   step_ratio_up=step_ratio_up)
+        adam = optax.inject_hyperparams(optax.scale_by_adam)(
+            b1=b1_sched, b2=betas[1])
+    else:
+        adam = optax.scale_by_adam(b1=betas[0], b2=betas[1])
     txs = [optax.clip_by_global_norm(grad_clip),
-           optax.scale_by_adam(b1=betas[0], b2=betas[1]),
+           adam,
            optax.add_decayed_weights(weight_decay),
            optax.scale_by_learning_rate(lr_sched)]
     if warmup is not None:
