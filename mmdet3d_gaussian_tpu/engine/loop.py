@@ -92,7 +92,10 @@ def run_training(det, cfg, work_dir: str, seed: int = 0,
 
     step_fn = jax.jit(ts.make_train_step(apply_fn, det.loss, optimizer),
                       donate_argnums=(0,))
-    mesh = make_mesh(axis_names=('data',))
+    # data axis must divide the batch; use the largest divisor <= n_devices
+    n_dev = max(d for d in range(1, jax.device_count() + 1)
+                if batch_size % d == 0)
+    mesh = make_mesh(n_dev, axis_names=('data',))
 
     log_path = os.path.join(work_dir, 'train_log.jsonl')
     step = int(state.step)
