@@ -118,6 +118,42 @@ def run_training(det, cfg, work_dir: str, seed: int = 0,
                 if step >= total_steps:
                     break
             save_checkpoint(work_dir, state, step)
+            # training-time evaluation (the reference's evaluation hook,
+            # `evaluation = dict(interval=...)` in every config)
+            if (eval_interval and (epoch + 1) % eval_interval == 0
+                    and cfg.get('data', {}).get('val')):
+                report = run_evaluation(det, cfg, state)
+                rec = {f'val/{k}': float(v) for k, v in report.items()}
+                rec.update(step=step, epoch=epoch)
+                logf.write(json.dumps(rec) + '\n')
+                logf.flush()
+                print(f'eval @ epoch {epoch}: {rec}')
             if step >= total_steps:
                 break
     return state
+
+
+def run_evaluation(det, cfg, state):
+    """Predict over the val split and run ``dataset.evaluate``."""
+    import jax
+    import numpy as np
+
+    ds, make_iter = build_dataloader(cfg, 'val')
+    variables = {'params': state.params, 'batch_stats': state.batch_stats}
+    predict = jax.jit(det.predict)
+    num_classes = det.head.num_classes
+    results = []
+    for batch in make_iter(0):
+        batch.pop('metas', None)
+        boxes, scores, labels, valid = predict(variables, batch)
+        boxes, scores = np.asarray(boxes), np.asarray(scores)
+        labels, valid = np.asarray(labels), np.asarray(valid)
+        for i in range(boxes.shape[0]):
+            per_cls = []
+            for c in range(num_classes):
+                sel = valid[i] & (labels[i] == c)
+                per_cls.append(np.concatenate(
+                    [boxes[i][sel][:, :7], scores[i][sel][:, None]],
+                    -1).astype(np.float32))
+            results.append(per_cls)
+    return ds.evaluate(results[:len(ds)])

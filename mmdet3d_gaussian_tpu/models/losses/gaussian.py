@@ -35,6 +35,15 @@ from ...registry import LOSSES
 
 _EPS_DIM = 1e-7
 _DIM_MAX = 1e7
+# sqrt'(0) = inf: clip the radicand to a tiny positive floor so rows at the
+# zero-distance boundary (e.g. padded rows whose pred was replaced by the
+# target) get a FINITE gradient that the zero weight can kill (0 * finite
+# = 0, while 0 * inf = NaN — this NaN'd training around step 50).
+_SQRT_FLOOR = 1e-9
+
+
+def _safe_sqrt(x):
+    return jnp.sqrt(jnp.clip(x, _SQRT_FLOOR))
 
 
 def gaussian_params(boxes, center_offset: Sequence[float] = (0., 0., 0.5)):
@@ -116,10 +125,10 @@ def gwd3d(gp, gt, fun='log1p', tau=1.0, alpha=1.0, normalize=True):
     det_sqrt = gp['a'] * gp['b'] * gt['a'] * gt['b']
 
     whlr = (gp['a'] ** 2 + gp['b'] ** 2 + gt['a'] ** 2 + gt['b'] ** 2
-            - 2 * jnp.sqrt(jnp.clip(tr_pt + 2 * det_sqrt, 0))
+            - 2 * _safe_sqrt(tr_pt + 2 * det_sqrt)
             + (gp['sl'] - gt['sl']) ** 2)
 
-    distance = jnp.sqrt(jnp.clip(xyz_d + alpha * alpha * whlr, 0))
+    distance = _safe_sqrt(xyz_d + alpha * alpha * whlr)
 
     if normalize:
         # scale = 2 * (det Sigma_p det Sigma_t)^(1/12) — geometric-mean size
@@ -156,7 +165,7 @@ def kld3d(gp, gt, fun='log1p', tau=1.0, alpha=1.0, sqrt=True):
 
     distance = xyz_d / (alpha * alpha) + whlr
     if sqrt:
-        distance = jnp.sqrt(jnp.clip(distance, 0))
+        distance = _safe_sqrt(distance)
     return postprocess(distance, fun, tau)
 
 
@@ -185,7 +194,7 @@ def bd3d(gp, gt, fun='log1p', tau=1.0, alpha=1.0, sqrt=True):
 
     distance = xyz_d / (alpha * alpha) + whlr
     if sqrt:
-        distance = jnp.sqrt(jnp.clip(distance, 0))
+        distance = _safe_sqrt(distance)
     return postprocess(distance, fun, tau)
 
 
@@ -194,7 +203,7 @@ def jd3d(gp, gt, fun='log1p', tau=1.0, alpha=1.0, sqrt=True):
     jd = 0.5 * (kld3d(gp, gt, fun='none', tau=0., alpha=alpha, sqrt=False)
                 + kld3d(gt, gp, fun='none', tau=0., alpha=alpha, sqrt=False))
     if sqrt:
-        jd = jnp.sqrt(jnp.clip(jd, 0))
+        jd = _safe_sqrt(jd)
     return postprocess(jd, fun, tau)
 
 

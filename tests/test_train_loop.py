@@ -125,3 +125,25 @@ def test_run_training_and_checkpoint(kitti_root, tmp_path):
     b = jax.tree_util.tree_leaves(restored.params)
     for x, y in zip(a, b):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y))
+
+
+def test_training_with_eval(kitti_root, tmp_path):
+    """run_training with eval_interval: val mAP lands in the log."""
+    import json as _json
+    import mmdet3d_gaussian_tpu  # noqa: F401
+    from mmdet3d_gaussian_tpu.engine.detector import PointPillarsDetector
+    from mmdet3d_gaussian_tpu.engine.loop import run_training
+
+    cfg = _cfg(kitti_root)
+    cfg.data['val'] = dict(cfg.data['train'])
+    det = PointPillarsDetector(model_cfg=dict(cfg.model),
+                               head_cfg=dict(cfg.head))
+    work_dir = str(tmp_path / 'work_eval')
+    os.makedirs(work_dir, exist_ok=True)
+    run_training(det, cfg, work_dir, max_steps=2, log_interval=1,
+                 eval_interval=1)
+    recs = [_json.loads(l) for l in
+            open(os.path.join(work_dir, 'train_log.jsonl'))]
+    val_recs = [r for r in recs if any(k.startswith('val/') for k in r)]
+    assert val_recs, recs
+    assert np.isfinite(val_recs[0]['val/mAP'])
