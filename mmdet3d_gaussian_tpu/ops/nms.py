@@ -28,6 +28,15 @@ def _suppress_sweep(iou_mat, valid, thr):
     return jax.lax.fori_loop(0, k, body, keep0)
 
 
+def _pairwise_iou_bev(boxes):
+    """Dispatch: Pallas tiled kernel on TPU (VMEM-resident, no (K,K,24,2)
+    HBM intermediate), vmapped XLA clip elsewhere."""
+    if jax.default_backend() == 'tpu' and boxes.shape[0] >= 128:
+        from .pallas.rotated_iou_kernel import iou_bev_pallas
+        return iou_bev_pallas(boxes, boxes)
+    return iou_bev(boxes, boxes)
+
+
 def nms_bev(boxes, scores, thr: float, valid=None):
     """Rotated-BEV NMS.
 
@@ -41,7 +50,7 @@ def nms_bev(boxes, scores, thr: float, valid=None):
     """
     if valid is None:
         valid = jnp.ones(boxes.shape[:1], bool)
-    iou = iou_bev(boxes, boxes)
+    iou = _pairwise_iou_bev(boxes)
     return _suppress_sweep(iou, valid, thr)
 
 

@@ -141,3 +141,20 @@ def test_jit_compatible():
     target = jnp.asarray(perturbed(np.asarray(pred), seed=15))
     out = f(pred, target, jnp.ones((16,)))
     assert np.isfinite(float(out))
+
+
+def test_sqrt_boundary_grad_finite():
+    """Regression: sqrt'(0) = inf NaN'd training.  pred == target puts the
+    distance exactly at the clip boundary; the gradient must stay finite
+    and weight 0 must kill it completely (0 * finite = 0)."""
+    boxes = jnp.asarray(random_boxes(8, seed=42))
+    for loss_type in ('kld3d', 'gwd3d', 'bd3d', 'jd3d'):
+        loss_fn = GDLoss(loss_type)
+        w = jnp.asarray([1, 1, 1, 1, 0, 0, 0, 0], dtype=jnp.float32)
+
+        def f(p):
+            return loss_fn(p, boxes, weight=w, avg_factor=4.0)
+
+        g = np.asarray(jax.grad(f)(boxes))
+        assert np.isfinite(g).all(), loss_type
+        np.testing.assert_allclose(g[4:], 0.0, err_msg=loss_type)
