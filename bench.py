@@ -34,12 +34,33 @@ except Exception:
     batch_size = int(os.environ.get('BENCH_BATCH', 4))
     num_points = int(os.environ.get('BENCH_POINTS', 16384))
     bf16 = os.environ.get('BENCH_BF16', '0') == '1'
+    mode = os.environ.get('BENCH_MODE', 'train')   # train | infer
 
     det = PointPillarsDetector(
         model_cfg=dict(compute_dtype='bfloat16') if bf16 else None)
     batch = synthetic_batch(batch_size=batch_size, num_points=num_points,
                             num_gt=16)
     variables = det.init(jax.random.PRNGKey(0), batch)
+
+    if mode == 'infer':
+        predict = jax.jit(det.predict)
+        out = predict(variables, batch)
+        jax.block_until_ready(out)
+        iters = 20
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = predict(variables, batch)
+        jax.block_until_ready(out)
+        dt = time.perf_counter() - t0
+        points_per_s = batch_size * num_points * iters / dt
+        print(json.dumps({
+            'metric': 'points/s/chip (inference: voxelize+trunk+decode+NMS)',
+            'value': round(points_per_s, 1),
+            'unit': 'points/s',
+            'vs_baseline': None,
+        }))
+        return
+
     opt = ts.make_optimizer(1e-3, total_steps=1000)
     state = ts.init_state(variables['params'], variables['batch_stats'], opt)
 

@@ -15,8 +15,14 @@ from .rotated_iou import iou_bev
 
 
 def _suppress_sweep(iou_mat, valid, thr):
-    """Greedy NMS given a score-sorted pairwise IoU matrix (K, K)."""
+    """Greedy NMS given a score-sorted pairwise IoU matrix (K, K).
+
+    On TPU the K-step recurrence runs inside one Pallas kernel (on-chip
+    loop); elsewhere it is an XLA fori_loop."""
     k = iou_mat.shape[0]
+    if jax.default_backend() == 'tpu' and k >= 128:
+        from .pallas.nms_kernel import nms_sweep_pallas
+        return nms_sweep_pallas(iou_mat, valid, thr)
     suppress = iou_mat > thr
 
     def body(i, keep):
