@@ -20,12 +20,11 @@ A100_BASELINE_POINTS_PER_S = None  # no published/measured CUDA number yet
 
 def main():
     import jax
-
-try:
-    from mmdet3d_gaussian_tpu.utils import cache as _cc
-    _cc.enable()
-except Exception:
-    pass
+    try:
+        from mmdet3d_gaussian_tpu.utils import cache as _cc
+        _cc.enable()
+    except Exception:
+        pass
     from mmdet3d_gaussian_tpu.engine.detector import (PointPillarsDetector,
                                                       synthetic_batch)
     from mmdet3d_gaussian_tpu.parallel import train_state as ts
