@@ -34,9 +34,14 @@ def main():
     num_points = int(os.environ.get('BENCH_POINTS', 16384))
     bf16 = os.environ.get('BENCH_BF16', '0') == '1'
     mode = os.environ.get('BENCH_MODE', 'train')   # train | infer
+    vox = os.environ.get('BENCH_VOXELIZE', 'dynamic')  # dynamic | hard
 
-    det = PointPillarsDetector(
-        model_cfg=dict(compute_dtype='bfloat16') if bf16 else None)
+    mc = {}
+    if bf16:
+        mc['compute_dtype'] = 'bfloat16'
+    if vox != 'hard':
+        mc['voxelize_mode'] = vox
+    det = PointPillarsDetector(model_cfg=mc or None)
     batch = synthetic_batch(batch_size=batch_size, num_points=num_points,
                             num_gt=16)
     variables = det.init(jax.random.PRNGKey(0), batch)
