@@ -147,3 +147,40 @@ def test_training_with_eval(kitti_root, tmp_path):
     val_recs = [r for r in recs if any(k.startswith('val/') for k in r)]
     assert val_recs, recs
     assert np.isfinite(val_recs[0]['val/mAP'])
+
+
+def test_tools_test_cli(kitti_root, tmp_path):
+    """The full tools/test.py CLI path: train 2 steps -> checkpoint ->
+    test.py restores and evaluates."""
+    import subprocess
+    import sys
+    import mmdet3d_gaussian_tpu  # noqa: F401
+    from mmdet3d_gaussian_tpu.engine.detector import PointPillarsDetector
+    from mmdet3d_gaussian_tpu.engine.loop import run_training
+
+    cfg = _cfg(kitti_root)
+    cfg.data['val'] = dict(cfg.data['train'])
+    det = PointPillarsDetector(model_cfg=dict(cfg.model),
+                               head_cfg=dict(cfg.head))
+    work_dir = str(tmp_path / 'work_cli')
+    os.makedirs(work_dir, exist_ok=True)
+    run_training(det, cfg, work_dir, max_steps=2, log_interval=1)
+    ckpt = sorted(d for d in os.listdir(work_dir)
+                  if d.startswith('ckpt_'))[-1]
+
+    # write the config as a python file for the CLI
+    cfg_path = tmp_path / 'cfg.py'
+    with open(cfg_path, 'w') as f:
+        f.write(f'model = {dict(cfg.model)!r}\n')
+        f.write(f'head = {dict(cfg.head)!r}\n')
+        f.write(f'data = {cfg.to_dict()["data"]!r}\n')
+        f.write('optimizer = dict(lr=1e-3)\n')
+
+    env = dict(os.environ, JAX_PLATFORMS='cpu',
+               PYTHONPATH='/root/repo')
+    out = subprocess.run(
+        [sys.executable, '/root/repo/tools/test.py', str(cfg_path),
+         os.path.join(work_dir, ckpt)],
+        capture_output=True, text=True, env=env, timeout=420)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert 'mAP' in out.stdout, out.stdout[-500:]

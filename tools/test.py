@@ -65,12 +65,18 @@ def main():
     first.pop('metas', None)
     variables = det.init(jax.random.PRNGKey(0), first)
     if args.checkpoint:
+        # the restore target must match the saved TrainState structure,
+        # including the optimizer state pytree
         from mmdet3d_gaussian_tpu.parallel import train_state as ts
-        state = restore_checkpoint(
-            args.checkpoint,
-            ts.TrainState(step=0, params=variables['params'],
-                          batch_stats=variables['batch_stats'],
-                          opt_state=None))
+        opt_cfg = dict(cfg.get('optimizer', {}))
+        optimizer = ts.make_optimizer(
+            base_lr=float(opt_cfg.get('lr', 1e-3)), total_steps=1,
+            betas=tuple(opt_cfg.get('betas', (0.95, 0.99))),
+            weight_decay=float(opt_cfg.get('weight_decay', 0.01)),
+            warmup=cfg.get('warmup'))   # must mirror training's structure
+        target = ts.init_state(variables['params'],
+                               variables['batch_stats'], optimizer)
+        state = restore_checkpoint(args.checkpoint, target)
         variables = {'params': state.params,
                      'batch_stats': state.batch_stats}
 
