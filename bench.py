@@ -77,13 +77,20 @@ def main():
     # compile + warmup
     state, metrics = step(state, batch)
     jax.block_until_ready(metrics)
-
-    iters = 20
-    t0 = time.perf_counter()
-    for _ in range(iters):
+    for _ in range(3):
         state, metrics = step(state, batch)
     jax.block_until_ready(metrics)
-    dt = time.perf_counter() - t0
+
+    # median over windows: robust to tunnel-dispatch latency spikes
+    iters, windows = 10, 5
+    times = []
+    for _ in range(windows):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            state, metrics = step(state, batch)
+        jax.block_until_ready(metrics)
+        times.append(time.perf_counter() - t0)
+    dt = sorted(times)[len(times) // 2]
 
     points_per_s = batch_size * num_points * iters / dt
     vs = (points_per_s / A100_BASELINE_POINTS_PER_S
