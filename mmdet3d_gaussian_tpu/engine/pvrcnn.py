@@ -312,3 +312,43 @@ class PVRCNNDetector:
 
         total = sum(losses.values())
         return total, losses
+
+    # -- inference ------------------------------------------------------
+    def apply_eval(self, variables, batch):
+        b = batch['points'].shape[0]
+        feats, coords = self.voxelize(batch)
+        levels, bev, neck, rpn_outs = self.first.apply(
+            variables['first'], feats, coords, b)
+        boxes, labels, scores, valid = self._proposals(rpn_outs)
+        out2 = self.second.apply(variables['second'], levels, bev,
+                                 batch['points'], batch['points_mask'],
+                                 boxes, valid)
+        return out2, (boxes, labels, scores, valid)
+
+    def predict(self, variables, batch, score_thr: float = 0.1,
+                nms_thr: float = 0.1, max_num: int = 64):
+        """Two-stage inference (reference ``PVRCNNROIHead.simple_test`` ->
+        ``bbox_head.get_bboxes``, ``pvrcnn_bbox_head.py:353-477``):
+        RoI-refined boxes + sigmoid IoU-quality score, per-sample rotated
+        NMS -> fixed-size detections."""
+        from ..ops.nms import nms_bev
+
+        out2, (rois, roi_labels, roi_scores, roi_valid) = self.apply_eval(
+            variables, batch)
+        refined = decode_roi_boxes(rois, out2['roi_reg'], self.roi_coder)
+        quality = jax.nn.sigmoid(out2['roi_cls'][..., 0])
+        score = quality * jnp.where(roi_valid, 1.0, 0.0)
+
+        def single(boxes, s, labels, valid):
+            order = jnp.argsort(-jnp.where(valid, s, -jnp.inf))
+            boxes, s, labels, valid = (boxes[order], s[order],
+                                       labels[order], valid[order])
+            bev_boxes = jnp.stack([boxes[:, 0], boxes[:, 1], boxes[:, 3],
+                                   boxes[:, 4], boxes[:, 6]], -1)
+            keep = nms_bev(bev_boxes, s, nms_thr,
+                           valid=valid & (s > score_thr))
+            s = jnp.where(keep, s, -1.0)
+            top_s, idx = jax.lax.top_k(s, min(max_num, s.shape[0]))
+            return boxes[idx], top_s, labels[idx], top_s > score_thr
+
+        return jax.vmap(single)(refined, score, roi_labels, roi_valid)

@@ -131,3 +131,15 @@ def test_pvrcnn_end_to_end_loss_and_grad():
     assert all(np.isfinite(np.asarray(x)).all() for x in leaves)
     total_norm = float(jnp.sqrt(sum(jnp.sum(x ** 2) for x in leaves)))
     assert total_norm > 0
+
+
+def test_pvrcnn_predict():
+    det = PVRCNNDetector(model_cfg=TINY_PVRCNN, rpn_head_cfg=TINY_RPN)
+    batch = synthetic_batch(batch_size=2, num_points=512, num_gt=4,
+                            pc_range=TINY_PVRCNN['point_cloud_range'])
+    variables = jax.jit(det.init)(jax.random.PRNGKey(0), batch)
+    boxes, scores, labels, valid = jax.jit(
+        lambda v, b: det.predict(v, b))(variables, batch)
+    assert boxes.shape[0] == 2 and boxes.shape[-1] == 7
+    assert scores.shape == labels.shape == valid.shape
+    assert np.isfinite(np.asarray(boxes)).all()
