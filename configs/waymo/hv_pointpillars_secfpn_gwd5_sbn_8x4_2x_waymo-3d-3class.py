@@ -11,7 +11,7 @@ model = dict(
     voxelize_mode='hard',
     encoder_cfg=dict(in_channels=5, feat_channels=(64,)),
     backbone_cfg=dict(in_channels=64, out_channels=(64, 128, 256),
-                      layer_nums=(3, 5, 5), layer_strides=(2, 2, 2)),
+                      layer_nums=(3, 5, 5), layer_strides=(1, 2, 2)),
     neck_cfg=dict(in_channels=(64, 128, 256), out_channels=(128, 128, 128),
                   upsample_strides=(1, 2, 4)),
     head_cfg=dict(num_classes=3, num_anchors=6, feat_channels=384),
