@@ -114,6 +114,9 @@ def iou_bev(boxes1, boxes2, eps: float = 1e-6):
     inter = intersect_area_bev(boxes1, boxes2)
     a1 = boxes1[:, 2] * boxes1[:, 3]
     a2 = boxes2[:, 2] * boxes2[:, 3]
+    # clamp by both areas (reference affinity.cpp:71-73; also keeps this
+    # path bit-consistent with the Pallas kernel so CPU/TPU NMS agree)
+    inter = jnp.minimum(jnp.minimum(inter, a1[:, None]), a2[None, :])
     return inter / jnp.maximum(a1[:, None] + a2[None, :] - inter, eps)
 
 
@@ -131,7 +134,8 @@ def iou_3d(boxes1, boxes2, z_offset: float = 0.0, eps: float = 1e-6):
     z2lo, z2hi = boxes2[:, 2], boxes2[:, 2] + boxes2[:, 5]
     zov = jnp.clip(jnp.minimum(z1hi[:, None], z2hi[None, :])
                    - jnp.maximum(z1lo[:, None], z2lo[None, :]), 0.0)
-    inter = inter_bev * zov
     v1 = boxes1[:, 3] * boxes1[:, 4] * boxes1[:, 5]
     v2 = boxes2[:, 3] * boxes2[:, 4] * boxes2[:, 5]
+    inter = jnp.minimum(jnp.minimum(inter_bev * zov, v1[:, None]),
+                        v2[None, :])
     return inter / jnp.maximum(v1[:, None] + v2[None, :] - inter, eps)

@@ -66,6 +66,9 @@ class Scatter(NamedTuple):
     voxel_counts: jax.Array
     num_voxels: jax.Array
     max_voxels: int
+    sort_order: jax.Array    # (N,) point indices sorted by (voxel, index) —
+                             # argsort of the linearized keys; lets callers
+                             # (hard_voxelize) reuse the grouping for free
 
     # -- reductions -------------------------------------------------------
     def reduce(self, point_feats, op: str = 'max'):
@@ -115,13 +118,20 @@ def _segment_sum_nd(data, segment_ids, num_segments):
 # --------------------------------------------------------------------------
 @partial(jax.custom_vjp, nondiff_argnums=(2,))
 def segment_max_lowtie(data, segment_ids, num_segments: int):
-    """Per-segment max; empty segments yield 0 (the CUDA kernels init the
-    output to 0 via ``reduced_feats.fill_(0)`` for max — see
-    dynamic_point_to_voxel_scatter_reduce_gpu, scatter_points_cuda.cu)."""
+    """Per-segment max; EMPTY segments yield 0.
+
+    Note: the reference CUDA path has no empty voxels at all (it sizes the
+    output to the exact voxel count; for max it fills -inf then reduces,
+    scatter_points_cuda.cu:201-204) — empty rows only exist here because of
+    static-capacity padding, and zeroing them keeps padded rows inert for
+    downstream BEV scatter.  Emptiness is detected by segment counts, so a
+    genuine +/-inf feature value propagates instead of being masked."""
     out = jax.ops.segment_max(data, segment_ids, num_segments=num_segments + 1)
     out = out[:num_segments]
-    # segment_max returns -inf for empty segments; zero them like the ref.
-    return jnp.where(jnp.isfinite(out), out, 0.0)
+    counts = jax.ops.segment_sum(
+        jnp.ones_like(segment_ids, dtype=jnp.int32), segment_ids,
+        num_segments=num_segments + 1)[:num_segments]
+    return jnp.where(counts[:, None] > 0, out, 0.0)
 
 
 def _smax_fwd(data, segment_ids, num_segments):
@@ -205,7 +215,9 @@ def build_scatter(coords, spatial_shape: Sequence[int],
         (sorted_key[1:] != sorted_key[:-1]).astype(jnp.int32)])
     first = jnp.where(sorted_key == int32_max, 0, first)
     seg_sorted = jnp.cumsum(first) - 1  # compact id in sorted order
-    num_voxels = jnp.maximum(seg_sorted[-1] + 1, 0)
+    # live voxels actually materialized (overflow beyond capacity is
+    # rerouted to the trash row and NOT counted)
+    num_voxels = jnp.clip(seg_sorted[-1] + 1, 0, max_voxels)
     # invalid points and overflow voxels -> trash id max_voxels
     seg_sorted = jnp.where(
         (sorted_key == int32_max) | (seg_sorted >= max_voxels),
@@ -230,7 +242,8 @@ def build_scatter(coords, spatial_shape: Sequence[int],
                    voxel_coords=voxel_coords,
                    voxel_counts=voxel_counts,
                    num_voxels=num_voxels.astype(jnp.int32),
-                   max_voxels=max_voxels)
+                   max_voxels=max_voxels,
+                   sort_order=order.astype(jnp.int32))
 
 
 def batch_coords(coords_3d, batch_idx):

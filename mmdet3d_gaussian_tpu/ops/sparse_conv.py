@@ -83,14 +83,21 @@ def _kernel_offsets(kernel_size: Sequence[int]):
     return np.stack([oz.ravel(), oy.ravel(), ox.ravel()], -1)  # (K, 3)
 
 
-def submanifold_conv3d(st: SparseTensor, weight, bias=None) -> SparseTensor:
+def submanifold_conv3d(st: SparseTensor, weight, bias=None,
+                       kernel_size: Optional[Sequence[int]] = None
+                       ) -> SparseTensor:
     """SubMConv3d: output sites == input sites.
 
-    weight: (K, Cin, Cout) with K = prod(kernel) in (z, y, x) raster order.
+    weight: (K, Cin, Cout) with K = prod(kernel_size) in (z, y, x) raster
+    order; kernel_size defaults to the cubic root of K and is validated.
     """
     k, cin, cout = weight.shape
-    ks = round(k ** (1 / 3))
-    offsets = jnp.asarray(_kernel_offsets((ks, ks, ks)))       # (K, 3)
+    if kernel_size is None:
+        ks = round(k ** (1 / 3))
+        kernel_size = (ks, ks, ks)
+    assert int(np.prod(kernel_size)) == k, (
+        f'weight has {k} taps but kernel_size={tuple(kernel_size)}')
+    offsets = jnp.asarray(_kernel_offsets(kernel_size))        # (K, 3)
     _, nz, ny, nx = st.spatial_shape
 
     nb_coords = st.coords[:, None, 1:4] + offsets[None, :, :]  # (V, K, 3)

@@ -46,10 +46,11 @@ def hard_voxelize(points, coords, spatial_shape: Sequence[int],
     scatter = build_scatter(coords, spatial_shape, max_voxels)
     n = points.shape[0]
 
-    # Rank of each point within its voxel, in ascending point-index order:
-    # sort by (voxel_id, point_index); rank = pos - segment_start(pos).
+    # Rank of each point within its voxel, in ascending point-index order.
+    # build_scatter's key argsort already groups voxels with ascending point
+    # index inside each (argsort is stable) — reuse it, no second sort.
     seg = scatter.point_voxel_ids
-    order = jnp.argsort(seg, stable=True)   # stable keeps point order in-voxel
+    order = scatter.sort_order
     seg_sorted = seg[order]
     pos = jnp.arange(n, dtype=jnp.int32)
     first = jnp.concatenate([
@@ -94,7 +95,8 @@ def bev_scatter(voxel_feats, coords, batch_size: int, nx: int, ny: int):
     b = coords[:, 0]
     ix = coords[:, 1]
     iy = coords[:, 2]
-    valid = (b >= 0) & (ix >= 0) & (iy >= 0)
+    valid = ((b >= 0) & (b < batch_size) & (ix >= 0) & (ix < nx)
+             & (iy >= 0) & (iy < ny))
     lin = jnp.where(valid, (b * ny + iy) * nx + ix, batch_size * ny * nx)
     canvas = jnp.zeros((batch_size * ny * nx + 1, voxel_feats.shape[-1]),
                        dtype=voxel_feats.dtype)
@@ -106,7 +108,8 @@ def bev_gather(canvas, coords):
     """Inverse of :func:`bev_scatter`: sample canvas rows at voxel coords."""
     bsz, ny, nx, c = canvas.shape
     b, ix, iy = coords[:, 0], coords[:, 1], coords[:, 2]
-    valid = (b >= 0) & (ix >= 0) & (iy >= 0)
+    valid = ((b >= 0) & (b < bsz) & (ix >= 0) & (ix < nx)
+             & (iy >= 0) & (iy < ny))
     lin = jnp.where(valid, (b * ny + iy) * nx + ix, 0)
     flat = canvas.reshape(-1, c)
     out = flat[lin]

@@ -99,6 +99,9 @@ def query_and_group(radius: float, nsample: int, support_xyz, query_xyz,
     grouped_xyz = jnp.where((idx >= 0)[..., None], grouped_xyz, 0.0)
     if normalize_xyz:
         grouped_xyz = grouped_xyz / radius
+    assert use_xyz or features is not None, (
+        'query_and_group needs use_xyz=True or a features tensor '
+        '(reference QueryAndGroup asserts the same)')
     parts = []
     if use_xyz:
         parts.append(grouped_xyz)
@@ -108,27 +111,35 @@ def query_and_group(radius: float, nsample: int, support_xyz, query_xyz,
 
 
 def voxel_query(query_xyz, voxel_coords_dense, point_cloud_range, voxel_size,
-                max_range: Tuple[int, int, int], nsample: int):
+                max_range: Tuple[int, int, int], nsample: int,
+                radius: float = None):
     """Neighbor search over a dense voxel hash within a +-range window
-    (reference ``voxel_query_gpu.cu:10-89``).  Dense variant: the caller
-    supplies ``voxel_coords_dense`` (Z, Y, X) -> compact voxel id (or -1);
-    we gather the window around each query's cell."""
+    (reference ``voxel_query_gpu.cu:10-89``): candidate voxel cells in the
+    window whose CENTER lies within ``radius`` of the query point, first
+    ``nsample`` in the z-outer / x-inner traversal order of the reference
+    kernel.  ``radius=None`` skips the metric filter (pure window query)."""
     pcr = jnp.asarray(point_cloud_range)
     vs = jnp.asarray(voxel_size)
     cell = jnp.floor((query_xyz - pcr[:3]) / vs).astype(jnp.int32)
     rz, ry, rx = max_range
-    offsets = jnp.stack(jnp.meshgrid(
-        jnp.arange(-rx, rx + 1), jnp.arange(-ry, ry + 1),
-        jnp.arange(-rz, rz + 1), indexing='ij'), -1).reshape(-1, 3)
+    # z-outer / y-mid / x-inner traversal like the CUDA triple loop
+    oz, oy, ox = jnp.meshgrid(jnp.arange(-rz, rz + 1),
+                              jnp.arange(-ry, ry + 1),
+                              jnp.arange(-rx, rx + 1), indexing='ij')
+    offsets = jnp.stack([ox.ravel(), oy.ravel(), oz.ravel()], -1)  # (W, 3)
     nz, ny, nx = voxel_coords_dense.shape
     cand = cell[:, None, :] + offsets[None, :, :]               # (M, W, 3)
     ok = ((cand[..., 0] >= 0) & (cand[..., 0] < nx)
           & (cand[..., 1] >= 0) & (cand[..., 1] < ny)
           & (cand[..., 2] >= 0) & (cand[..., 2] < nz))
+    if radius is not None:
+        centers = (cand.astype(query_xyz.dtype) + 0.5) * vs + pcr[:3]
+        d2 = jnp.sum((centers - query_xyz[:, None, :]) ** 2, -1)
+        ok = ok & (d2 <= radius * radius)
     safe = jnp.where(ok[..., None], cand, 0)
     vid = voxel_coords_dense[safe[..., 2], safe[..., 1], safe[..., 0]]
     vid = jnp.where(ok, vid, -1)
-    # first nsample valid ids
+    # first nsample valid ids in traversal order
     w = vid.shape[1]
     rank = jnp.where(vid >= 0, jnp.arange(w)[None, :], w)
     order = jnp.argsort(rank, axis=1)[:, :nsample]
