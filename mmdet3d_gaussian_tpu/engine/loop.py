@@ -24,10 +24,14 @@ def build_dataloader(cfg, split: str = 'train'):
     data_cfg = dict(cfg.get('data', {}).get(split, {}))
     ds = DATASETS.build(data_cfg)
     batch_size = int(cfg.get('data', {}).get('samples_per_gpu', 4))
+    shuffle = split == 'train'
 
     def iterator(seed: int = 0) -> Iterator[Dict]:
+        # eval splits iterate IN ORDER and pad the final partial batch by
+        # repeating the last sample (results[:len(ds)] stays index-aligned
+        # with dataset.get_ann_info); train shuffles and drops the remainder
         rng = np.random.RandomState(seed)
-        order = rng.permutation(len(ds))
+        order = rng.permutation(len(ds)) if shuffle else range(len(ds))
         buf = []
         for idx in order:
             item = ds[int(idx)]
@@ -37,6 +41,10 @@ def build_dataloader(cfg, split: str = 'train'):
             if len(buf) == batch_size:
                 yield collate_batch(buf)
                 buf = []
+        if buf and not shuffle:
+            while len(buf) < batch_size:
+                buf.append(buf[-1])
+            yield collate_batch(buf)
 
     return ds, iterator
 
@@ -133,6 +141,17 @@ def run_training(det, cfg, work_dir: str, seed: int = 0,
     return state
 
 
+def detector_num_classes(det) -> int:
+    """Total class count across detector families (anchor heads expose
+    num_classes; CenterHead exposes per-task splits; PV-RCNN via its RPN)."""
+    head = getattr(det, 'head', None) or getattr(det, 'rpn_head', None)
+    if hasattr(head, 'num_classes'):
+        return int(head.num_classes)
+    if hasattr(head, 'tasks'):
+        return int(sum(t['num_classes'] for t in head.tasks))
+    raise AttributeError(f'cannot infer num_classes from {det!r}')
+
+
 def run_evaluation(det, cfg, state):
     """Predict over the val split and run ``dataset.evaluate``."""
     import jax
@@ -140,8 +159,13 @@ def run_evaluation(det, cfg, state):
 
     ds, make_iter = build_dataloader(cfg, 'val')
     variables = {'params': state.params, 'batch_stats': state.batch_stats}
-    predict = jax.jit(det.predict)
-    num_classes = det.head.num_classes
+    # cache the jitted predict on the detector: re-wrapping in a fresh
+    # jax.jit per eval epoch forces a full recompile (minutes on TPU)
+    predict = getattr(det, '_jit_predict', None)
+    if predict is None:
+        predict = jax.jit(det.predict)
+        det._jit_predict = predict
+    num_classes = detector_num_classes(det)
     results = []
     for batch in make_iter(0):
         batch.pop('metas', None)

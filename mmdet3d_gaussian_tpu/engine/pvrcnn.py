@@ -61,7 +61,6 @@ KITTI_PVRCNN = dict(
                             samples=(16, 16), mlps=((16, 16), (16, 16))),
     bev_sa=True,
     num_proposals=128,
-    roi_samples=64,
     grid_size=6,
     roi_pool_radius=(0.8, 1.6),
     roi_samples_per_radius=(16, 16),
@@ -105,12 +104,13 @@ class PVRCNNFirstStage(nn.Module):
             base_channels=c['base_channels'],
             encoder_channels=c['encoder_channels'],
             out_channels=c['encoder_out_channels'],
-            capacity=c['max_voxels'], name='middle_encoder')
+            capacity=c['max_voxels'] * batch_size,   # per-sample capacity
+            name='middle_encoder')
         levels, bev = enc(voxel_feats, voxel_coords, batch_size, train)
         feats = SECONDFPN(name='neck', **c['neck'])(
             SECOND(name='backbone', **c['backbone'])(bev, train), train)
-        n_anchor = 6
-        rpn = Anchor3DHeadConvs(num_classes=3, num_anchors=n_anchor,
+        rpn = Anchor3DHeadConvs(num_classes=c['rpn_num_classes'],
+                                num_anchors=c['rpn_num_anchors'],
                                 feat_channels=feats.shape[-1],
                                 name='rpn_head')
         return levels, bev, feats, rpn(feats)
@@ -170,14 +170,14 @@ class PVRCNNDetector:
         hc.update(rpn_head_cfg or {})
         self.cfg = c
         self.rpn_head = GDAnchor3DHead(**hc)
+        # derive RPN conv channels from the SAME head config (no literals)
+        c['rpn_num_classes'] = self.rpn_head.num_classes
+        c['rpn_num_anchors'] = self.rpn_head.anchor_generator.num_base_anchors
         self.first = PVRCNNFirstStage(cfg=c)
         self.second = PVRCNNSecondStage(cfg=c)
         self.roi_coder = DeltaXYZWLHRBBoxCoder()
         self.loss_seg = LOSSES.build(dict(
             type='FocalLoss', use_sigmoid=True, gamma=2.0, alpha=0.25,
-            loss_weight=1.0))
-        self.loss_roi_cls = LOSSES.build(dict(
-            type='CrossEntropyLoss', use_sigmoid=True, reduction='none',
             loss_weight=1.0))
         self.loss_roi_bbox = LOSSES.build(dict(
             type='SmoothL1Loss', beta=1.0 / 9.0, reduction='none',
@@ -187,7 +187,6 @@ class PVRCNNDetector:
         self.bev_shape = (ny // 8, nx // 8)
         self.featmap_size = self.bev_shape  # backbone stride 1 + neck up
         self.anchors = self.rpn_head.anchors_for(self.featmap_size)
-        self.mask_head_math = PointwiseMaskHead(in_channels=1)
 
     # ------------------------------------------------------------------
     def voxelize(self, batch):
@@ -204,7 +203,8 @@ class PVRCNNDetector:
         coords4 = batch_coords(coords3, bidx)   # (b, ix, iy, iz)
         nzs = (b, c['sparse_shape'][2], c['sparse_shape'][1],
                c['sparse_shape'][0])
-        sc = build_scatter(coords4, nzs, c['max_voxels'])
+        # capacity is PER SAMPLE like the reference max_voxels (16000/scan)
+        sc = build_scatter(coords4, nzs, c['max_voxels'] * b)
         feats = sc.reduce(flat, 'mean')         # HardSimpleVFE
         # reorder coords to (b, z, y, x)
         vc = sc.voxel_coords
@@ -247,17 +247,27 @@ class PVRCNNDetector:
             mutable=['batch_stats'])
         boxes, labels, scores, valid = self._proposals(
             jax.tree_util.tree_map(jax.lax.stop_gradient, rpn_outs))
+        # assign + sample FIRST so the second stage runs on exactly the
+        # sampled rois — roi_cls/roi_reg then align 1:1 with the targets
+        # (running on raw proposals and permuting targets afterwards would
+        # pair prediction i with the target of a different roi)
+        samples = jax.vmap(
+            lambda p, l, v, gb, gl, gv: assign_and_sample(
+                p, l, v, gb, gl, gv,
+                num_samples=self.cfg['num_proposals']))(
+            boxes, labels, valid, batch['gt_bboxes'],
+            batch['gt_labels'], batch['gt_valid'])
         out2, aux2 = self.second.apply(
             variables['second'], levels, bev, batch['points'],
-            batch['points_mask'], boxes, valid, train=True,
+            batch['points_mask'], samples.rois, samples.valid, train=True,
             mutable=['batch_stats'],
             rngs=rngs)
-        return (rpn_outs, out2, (boxes, labels, scores, valid)), \
+        return (rpn_outs, out2, samples), \
             {'first': aux1['batch_stats'], 'second': aux2['batch_stats']}
 
     # ------------------------------------------------------------------
     def loss(self, outputs, batch):
-        rpn_outs, out2, (pboxes, plabels, pscores, pvalid) = outputs
+        rpn_outs, out2, samples = outputs
         losses = {}
 
         # RPN losses (anchor head)
@@ -278,13 +288,8 @@ class PVRCNNDetector:
         losses['loss_semantic'] = mask_head.loss(out2['seg_logits'],
                                                  seg_tgt, self.loss_seg)
 
-        # RoI losses
-        samples = jax.vmap(
-            lambda p, l, v, gb, gl, gv: assign_and_sample(
-                p, l, v, gb, gl, gv,
-                num_samples=self.cfg['num_proposals']))(
-            pboxes, plabels, pvalid, batch['gt_bboxes'],
-            batch['gt_labels'], batch['gt_valid'])
+        # RoI losses — samples were drawn before the second stage ran, so
+        # out2['roi_cls'][b, i] is the prediction FOR samples.rois[b, i]
         label, label_w, bbox_tgt, reg_w = jax.vmap(
             lambda s: roi_canonical_targets(s, self.roi_coder))(samples)
 

@@ -30,7 +30,7 @@ from ...core.bbox.assigners import MaxIoUAssigner
 from ...core.bbox.coders import (DeltaXYZWLHRBBoxCoder, add_sin_difference,
                                  get_direction_target)
 from ...core.bbox.structures import limit_period
-from ...ops.nms import nms_bev, nms_normal_bev, topk_sorted
+from ...ops.nms import nms_bev, nms_normal_bev
 from ...registry import LOSSES, MODELS
 
 
@@ -110,23 +110,6 @@ class GDAnchor3DHead:
     def anchors_for(self, featmap_size):
         """(H, W) -> anchors (H, W, S, R, 7)."""
         return self.anchor_generator.single_level_grid_anchors(featmap_size)
-
-    def _assign_single(self, anchors_flat, gt_bboxes, gt_labels, gt_valid,
-                       class_slices=None):
-        """Run assignment; per-class when configured.
-
-        anchors_flat: (A, 7) in (H, W, S, R) flatten order.
-        class_slices: for per-class assignment, a (S,) structure telling
-            which size index belongs to which class; we assume size s ==
-            class s (the reference KITTI/Waymo convention).
-        """
-        if not self.assign_per_class or len(self.assigners) == 1:
-            return self.assigners[0].assign(anchors_flat, gt_bboxes,
-                                            gt_labels, gt_valid)
-        # per-class: anchors (H*W, S, R, 7); class c uses slice [:, c, :, :]
-        s = len(self.assigners)
-        r = anchors_flat.shape[0] // s  # placeholder, recomputed by caller
-        raise RuntimeError('use assign_per_class path via get_targets')
 
     def get_targets(self, anchors, gt_bboxes, gt_labels,
                     gt_valid) -> AnchorTargets:
@@ -261,9 +244,11 @@ class GDAnchor3DHead:
         boxes = self.coder.decode(anchors_flat, deltas)
         dir_cls = jnp.argmax(dir_pred.reshape(-1, 2), axis=-1)
 
-        # mmdet3d dir correction: yaw -> dir_offset + limit_period + bin*pi
+        # mmdet3d dir correction with dir_limit_offset=0 (the reference
+        # pins it at gd_anchor3d_head.py:30; offset 1.0 here would shift
+        # every decoded yaw by -pi, flipping all headings)
         yaw = boxes[..., 6]
-        dir_rot = limit_period(yaw - self.dir_offset, 1.0, np.pi)
+        dir_rot = limit_period(yaw - self.dir_offset, 0.0, np.pi)
         yaw = dir_rot + self.dir_offset + np.pi * dir_cls.astype(yaw.dtype)
         boxes = boxes.at[..., 6].set(yaw)
 

@@ -80,8 +80,9 @@ def main():
         variables = {'params': state.params,
                      'batch_stats': state.batch_stats}
 
+    from mmdet3d_gaussian_tpu.engine.loop import detector_num_classes
     predict = jax.jit(det.predict)
-    num_classes = det.head.num_classes
+    num_classes = detector_num_classes(det)
     results = []
     for batch in make_iter(0):
         metas = batch.pop('metas', None)
