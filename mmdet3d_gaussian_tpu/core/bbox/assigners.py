@@ -48,9 +48,12 @@ class MaxIoUAssigner:
         self.ignore_iof_thr = ignore_iof_thr
         self.gt_max_assign_all = gt_max_assign_all
 
-    def assign(self, anchors, gt_bboxes, gt_labels, gt_valid) -> AssignResult:
+    def assign(self, anchors, gt_bboxes, gt_labels, gt_valid,
+               gt_bboxes_ignore=None, gt_ignore_valid=None) -> AssignResult:
         """anchors (A, 7); gt_bboxes (G, 7) padded; gt_labels (G,) int32;
-        gt_valid (G,) bool."""
+        gt_valid (G,) bool.  Optional don't-care regions: anchors whose
+        intersection-over-foreground with any ignore box exceeds
+        ``ignore_iof_thr`` are marked -1 (mmdet ignore semantics)."""
         overlaps = bbox_overlaps_nearest_3d(gt_bboxes, anchors)  # (G, A)
         overlaps = jnp.where(gt_valid[:, None], overlaps, -1.0)
 
@@ -75,6 +78,15 @@ class MaxIoUAssigner:
             assigned = jnp.where(lq > 0, lq, assigned)
 
         assigned = jnp.where(any_gt, assigned, 0)
+
+        if (gt_bboxes_ignore is not None and self.ignore_iof_thr > 0):
+            iof = bbox_overlaps_nearest_3d(anchors, gt_bboxes_ignore,
+                                           mode='iof')          # (A, Gi)
+            if gt_ignore_valid is not None:
+                iof = jnp.where(gt_ignore_valid[None, :], iof, 0.0)
+            in_ignore = jnp.max(iof, axis=1) > self.ignore_iof_thr
+            assigned = jnp.where(in_ignore, -1, assigned)
+
         safe_gt = jnp.clip(assigned - 1, 0)
         labels = jnp.where(assigned > 0, gt_labels[safe_gt], -1)
         return AssignResult(assigned_gt=assigned, max_overlaps=max_ov,

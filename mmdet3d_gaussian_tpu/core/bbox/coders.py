@@ -89,6 +89,22 @@ def get_direction_target(anchors, reg_targets, dir_offset=-np.pi / 2,
     return jnp.clip(dir_cls, 0, num_bins - 1)
 
 
+def snap_yaw_to_direction(yaw, dir_sin, dir_cos, dims):
+    """Snap a raw regressed yaw to the quadrant indicated by the sin/cos
+    direction branch: yaw += round((dir - yaw)/(pi/2)) * pi/2, swapping the
+    BEV dims on odd quarter-turns (reference
+    ``centerpoint_bbox_yaw_coders.py:41-50`` / ``point_bbox_yaw_coders.py``).
+    Shared by both yaw coders so the rule can't diverge."""
+    direction = jnp.arctan2(dir_sin, dir_cos)
+    num_rot90 = jnp.floor((direction - yaw) / (np.pi / 2) + 0.5)
+    yaw = yaw + num_rot90 * (np.pi / 2)
+    odd = (jnp.abs(num_rot90) % 2) == 1
+    w = jnp.where(odd, dims[..., 1], dims[..., 0])
+    l = jnp.where(odd, dims[..., 0], dims[..., 1])
+    dims = jnp.stack([w, l, dims[..., 2]], axis=-1)
+    return yaw, dims
+
+
 @BBOX_CODERS.register_module()
 class CenterPointBBoxCoder:
     """CenterPoint encode/decode on BEV cells (reference
@@ -174,13 +190,8 @@ class CenterPointBBoxYawCoder(CenterPointBBoxCoder):
         z = codes[..., 2] - dims[..., 2] * 0.5
         yaw = codes[..., 6]
         if correct_yaw:
-            direction = jnp.arctan2(codes[..., 7], codes[..., 8])
-            num_rot90 = jnp.floor((direction - yaw) / (np.pi / 2) + 0.5)
-            yaw = yaw + num_rot90 * (np.pi / 2)
-            odd = (jnp.abs(num_rot90) % 2) == 1
-            w = jnp.where(odd, dims[..., 1], dims[..., 0])
-            l = jnp.where(odd, dims[..., 0], dims[..., 1])
-            dims = jnp.stack([w, l, dims[..., 2]], axis=-1)
+            yaw, dims = snap_yaw_to_direction(yaw, codes[..., 7],
+                                              codes[..., 8], dims)
         parts = [x[..., None], y[..., None], z[..., None], dims,
                  yaw[..., None]]
         if codes.shape[-1] > 9:
@@ -191,27 +202,32 @@ class CenterPointBBoxYawCoder(CenterPointBBoxCoder):
 @BBOX_CODERS.register_module()
 class PointBBoxYawCoder:
     """Anchor-free point-prior coder (reference
-    ``point_bbox_yaw_coders.py:7-52``): xy = pred * stride + prior center,
-    dims scaled by stride, yaw snap as in the yaw coder."""
+    ``point_bbox_yaw_coders.py``): xy = pred * stride + prior center, BEV
+    dims scaled by stride (height NOT scaled), z passed through raw, yaw
+    snapped against the sin/cos direction branch."""
 
     def __init__(self, code_size: int = 9):
         self.code_size = code_size
+
+    def encode(self, target_boxes):
+        """(..., 7+) -> (..., 9+): box7 + (sin yaw, cos yaw) + extras
+        (reference ``encode``)."""
+        yaw = target_boxes[..., 6]
+        return jnp.concatenate(
+            [target_boxes[..., :7], jnp.sin(yaw)[..., None],
+             jnp.cos(yaw)[..., None], target_boxes[..., 7:]], axis=-1)
 
     def decode(self, priors, pred, correct_yaw=True):
         """priors (..., 3) = (cx, cy, stride); pred (..., code_size)."""
         stride = priors[..., 2:3]
         xy = pred[..., 0:2] * stride + priors[..., 0:2]
-        z = pred[..., 2:3]
-        dims = jnp.exp(pred[..., 3:6]) * stride
+        z = pred[..., 2]
+        dims = jnp.exp(pred[..., 3:6])
+        dims = jnp.concatenate([dims[..., :2] * stride, dims[..., 2:]],
+                               axis=-1)
         yaw = pred[..., 6]
         if correct_yaw:
-            direction = jnp.arctan2(pred[..., 7], pred[..., 8])
-            num_rot90 = jnp.floor((direction - yaw) / (np.pi / 2) + 0.5)
-            yaw = yaw + num_rot90 * (np.pi / 2)
-            odd = (jnp.abs(num_rot90) % 2) == 1
-            w = jnp.where(odd, dims[..., 1], dims[..., 0])
-            l = jnp.where(odd, dims[..., 0], dims[..., 1])
-            dims = jnp.stack([w, l, dims[..., 2]], axis=-1)
-        z = z[..., 0] - dims[..., 2] * 0.5
+            yaw, dims = snap_yaw_to_direction(yaw, pred[..., 7],
+                                              pred[..., 8], dims)
         return jnp.concatenate([xy, z[..., None], dims, yaw[..., None],
                                 pred[..., 9:]], axis=-1)

@@ -51,9 +51,10 @@ def rotation_3d_in_axis(points, angle, axis: int = 2):
     raise ValueError(f'axis must be 0/1/2, got {axis}')
 
 
-# Unit-square corner template in (x, y) BEV, counter-clockwise.
+# Unit-square corner template in (x, y) BEV, counter-clockwise
+# (positive shoelace area; consumers relying on winding can trust it).
 _BEV_CORNER_TEMPLATE = np.array(
-    [[-0.5, -0.5], [-0.5, 0.5], [0.5, 0.5], [0.5, -0.5]], dtype=np.float32)
+    [[-0.5, -0.5], [0.5, -0.5], [0.5, 0.5], [-0.5, 0.5]], dtype=np.float32)
 
 
 def corners_bev(boxes):

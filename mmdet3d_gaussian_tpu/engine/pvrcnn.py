@@ -154,7 +154,7 @@ class PVRCNNSecondStage(nn.Module):
                                proposals_valid, train)
         bbox_head = PVRCNNBboxHead(grid_size=c['grid_size'],
                                    name='bbox_head')
-        cls, reg = bbox_head(grid_feats, train)
+        cls, reg = bbox_head(grid_feats, proposals_valid, train)
         return dict(keypoints=vsa_out['keypoints'], seg_logits=seg_logits,
                     roi_cls=cls, roi_reg=reg)
 

@@ -40,6 +40,7 @@ class SparseConvBlock(nn.Module):
     kernel: Tuple[int, int, int] = (3, 3, 3)
     stride: int = 1
     out_capacity: Optional[int] = None   # required when stride > 1
+    padding: Optional[Tuple[int, int, int]] = None
     axis_name: Optional[str] = None
 
     @nn.compact
@@ -53,7 +54,8 @@ class SparseConvBlock(nn.Module):
         else:
             out = sparse_conv3d(st, w, self.stride,
                                 self.out_capacity or st.feats.shape[0],
-                                kernel_size=self.kernel)
+                                kernel_size=self.kernel,
+                                padding=self.padding)
         bn = MaskedBatchNorm(axis_name=self.axis_name, name='bn')
         feats = bn(out.feats, mask=out.valid, use_running_average=not train)
         feats = nn.relu(feats) * out.valid[:, None]
@@ -98,13 +100,21 @@ class MlvlSparseEncoder(nn.Module):
                                          name=f'stage{i}_subm{j}')(st, train)
             levels.append(st)
 
-        # out conv: (3,1,1) stride (2,1,1) on z only
+        # out conv: (3,1,1) stride (2,1,1) on z only, padding 0 like
+        # mmdet3d's SparseEncoder conv_out (z 6 -> 2, BEV = 2*out_channels;
+        # the default z-padding of 1 would yield 3 z-slices)
         out = SparseConvBlock(self.out_channels, kernel=(3, 1, 1),
                               stride=(2, 1, 1), out_capacity=self.capacity,
+                              padding=(0, 0, 0),
                               axis_name=self.axis_name,
                               name='conv_out')(st, train)
         dense = sparse_to_dense(out)                 # (B, Zo, Yo, Xo, C)
         b, zo, yo, xo, c = dense.shape
+        if zo < 1:
+            raise ValueError(
+                f'sparse_shape z={self.sparse_shape[0]} collapses to {zo} '
+                f'slices after 3 stride-2 stages + pad-0 (3,1,1)/(2,1,1) '
+                f'out conv; need z such that z//8 >= 3 (e.g. 24 or 41)')
         bev = jnp.transpose(dense, (0, 2, 3, 1, 4)).reshape(b, yo, xo,
                                                             zo * c)
         return levels, bev
@@ -162,10 +172,15 @@ class GuidedSAModuleMSG(nn.Module):
         return jnp.concatenate(outs, axis=-1)
 
 
-def bilinear_sample_bev(bev, xy, pc_range, cell_size, align: str = 'half'):
+def bilinear_sample_bev(bev, xy, pc_range, cell_size, align: str = 'half',
+                        base_cell_size=None):
     """Bilinear sample (H, W, C) BEV at metric xy (M, 2) — the TPU analogue
     of the reference's ``F.grid_sample`` path
-    (``interpolate_from_bev_features``, :153-177, align_corners=True)."""
+    (``interpolate_from_bev_features``, :153-177, align_corners=True).
+
+    align='half': corners at +-0.5 * scaled cell.  align='halfmin'
+    (reference :164-166): tl + 0.5 * BASE cell, br - (scaled - 0.5 * base).
+    """
     h, w, c = bev.shape
     tl = jnp.asarray(pc_range[:2])
     br = jnp.asarray(pc_range[3:5])
@@ -173,6 +188,13 @@ def bilinear_sample_bev(bev, xy, pc_range, cell_size, align: str = 'half'):
     if align == 'half':
         tl = tl + 0.5 * cs
         br = br - 0.5 * cs
+    elif align == 'halfmin':
+        base = jnp.asarray(base_cell_size if base_cell_size is not None
+                           else cell_size)
+        tl = tl + 0.5 * base
+        br = br - (cs - 0.5 * base)
+    else:
+        raise ValueError(f'unknown align mode {align!r}')
     u = (xy[:, 0] - tl[0]) / (br[0] - tl[0]) * (w - 1)
     v = (xy[:, 1] - tl[1]) / (br[1] - tl[1]) * (h - 1)
     u = jnp.clip(u, 0, w - 1)
@@ -230,10 +252,11 @@ class VoxelSetAbstraction(nn.Module):
         if self.bev_sa_config is not None and bev is not None:
             sf = self.bev_sa_config['scale_factor']
             cell = (self.voxel_size[0] * sf, self.voxel_size[1] * sf)
+            base_cell = (self.voxel_size[0], self.voxel_size[1])
             bev_feats = jax.vmap(
                 lambda bv, kp: bilinear_sample_bev(
                     bv, kp[:, :2], self.point_cloud_range, cell,
-                    self.voxel_center_align))(bev, keypoints)
+                    self.voxel_center_align, base_cell))(bev, keypoints)
             feats_list.append(bev_feats)
 
         if self.rawpoint_sa_config is not None:

@@ -162,15 +162,17 @@ class PVRCNNBboxHead(nn.Module):
     axis_name: Optional[str] = None
 
     @nn.compact
-    def __call__(self, grid_feats, train: bool = False):
-        """grid_feats (B, R, G^3*C) -> cls (B, R, 1), reg (B, R, 7)."""
+    def __call__(self, grid_feats, valid=None, train: bool = False):
+        """grid_feats (B, R, G^3*C), valid (B, R) roi mask -> cls
+        (B, R, 1), reg (B, R, 7).  BN statistics exclude padded roi rows
+        (all-zero invalid rois would otherwise deflate the stats)."""
         y = grid_feats
         rng_ok = self.has_rng('dropout')
         for i, ch in enumerate(self.shared_fc):
             y = nn.Dense(ch, use_bias=False, name=f'shared{i}')(y)
             y = MaskedBatchNorm(axis_name=self.axis_name,
                                 name=f'shared_bn{i}')(
-                y, use_running_average=not train)
+                y, mask=valid, use_running_average=not train)
             y = nn.relu(y)
             if i < len(self.shared_fc) - 1 and self.dropout > 0:
                 y = nn.Dropout(self.dropout, deterministic=not (train
@@ -180,7 +182,7 @@ class PVRCNNBboxHead(nn.Module):
             c = nn.Dense(ch, use_bias=False, name=f'cls{i}')(c)
             c = MaskedBatchNorm(axis_name=self.axis_name,
                                 name=f'cls_bn{i}')(
-                c, use_running_average=not train)
+                c, mask=valid, use_running_average=not train)
             c = nn.relu(c)
             if i == 0 and self.dropout > 0:
                 c = nn.Dropout(self.dropout, deterministic=not (train
@@ -192,7 +194,7 @@ class PVRCNNBboxHead(nn.Module):
             r = nn.Dense(ch, use_bias=False, name=f'reg{i}')(r)
             r = MaskedBatchNorm(axis_name=self.axis_name,
                                 name=f'reg_bn{i}')(
-                r, use_running_average=not train)
+                r, mask=valid, use_running_average=not train)
             r = nn.relu(r)
             if i == 0 and self.dropout > 0:
                 r = nn.Dropout(self.dropout, deterministic=not (train
@@ -233,15 +235,18 @@ def assign_and_sample(proposals, proposal_labels, proposal_valid,
     is_hard = (max_iou >= hard_neg_thr) & ~is_pos & proposal_valid
     is_easy = (max_iou >= 0) & (max_iou < hard_neg_thr) & proposal_valid
 
-    # ranked selection: positives (by iou), then hard negs, then easy
+    # ranked selection: positives (by iou), then hard negs, then easy.
+    # Positives beyond the cap are DISCARDED (score -1), matching the
+    # reference sampler which draws at most num*pos_fraction positives —
+    # demoting them to a mid band would both leak is_pos=True and crowd
+    # out negatives.
     max_pos = int(num_samples * pos_fraction)
-    score = jnp.where(is_pos, 3000.0 + max_iou,
+    pos_rank = jnp.cumsum(is_pos.astype(jnp.int32)) - 1
+    kept_pos = is_pos & (pos_rank < max_pos)
+    score = jnp.where(kept_pos, 3000.0 + max_iou,
                       jnp.where(is_hard, 2000.0 + max_iou,
                                 jnp.where(is_easy, 1000.0 + max_iou, -1.0)))
-    # cap positives at max_pos: demote extras below hard negs
-    pos_rank = jnp.cumsum(is_pos.astype(jnp.int32)) - 1
-    score = jnp.where(is_pos & (pos_rank >= max_pos), 1500.0 + max_iou,
-                      score)
+    score = jnp.where(is_pos & ~kept_pos, -1.0, score)
     _, order = jax.lax.top_k(score, num_samples)
     sel_valid = score[order] > 0
 
@@ -250,7 +255,7 @@ def assign_and_sample(proposals, proposal_labels, proposal_valid,
         roi_labels=proposal_labels[order],
         gt_of_roi=gt_bboxes[argmax[order]],
         ious=jnp.clip(max_iou[order], 0.0),
-        is_pos=is_pos[order] & sel_valid,
+        is_pos=kept_pos[order] & sel_valid,
         valid=sel_valid)
 
 

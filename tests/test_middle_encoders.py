@@ -9,7 +9,7 @@ from mmdet3d_gaussian_tpu.models.middle_encoders import (
     bilinear_sample_bev)
 
 
-def tiny_voxels(seed=0, v=64, b=2, shape=(8, 16, 16), cin=4):
+def tiny_voxels(seed=0, v=64, b=2, shape=(24, 16, 16), cin=4):
     rng = np.random.RandomState(seed)
     coords = np.stack([
         rng.randint(0, b, v), rng.randint(0, shape[0], v),
@@ -34,12 +34,12 @@ def test_mlvl_sparse_encoder_shapes():
     (levels, bev), _ = enc.apply(variables, feats, coords, 2, train=True,
                                  mutable=['batch_stats'])
     assert len(levels) == 4
-    # scale factors 1, 2, 4, 8 on (8, 16, 16)
-    assert levels[0].spatial_shape == (2, 8, 16, 16)
-    assert levels[1].spatial_shape == (2, 4, 8, 8)
-    assert levels[3].spatial_shape == (2, 1, 2, 2)
-    # out conv halves z of level 3 -> (1+2*1-3)//2+1 = 1; bev (B, 2, 2, 16)
-    assert bev.shape[0] == 2 and bev.shape[-1] % 16 == 0
+    # scale factors 1, 2, 4, 8 on (24, 16, 16)
+    assert levels[0].spatial_shape == (2, 24, 16, 16)
+    assert levels[1].spatial_shape == (2, 12, 8, 8)
+    assert levels[3].spatial_shape == (2, 3, 2, 2)
+    # pad-0 out conv: z 3 -> (3-3)//2+1 = 1; bev channels = 1*16
+    assert bev.shape == (2, 2, 2, 16)
     assert np.isfinite(np.asarray(bev)).all()
 
 

@@ -57,10 +57,10 @@ def test_corner_loss_zero_for_match_and_flip():
 
 
 TINY_PVRCNN = dict(
-    voxel_size=(0.4, 0.4, 0.5),
+    voxel_size=(0.4, 0.4, 0.1667),
     point_cloud_range=(0., -6.4, -2., 12.8, 6.4, 2.),
     max_voxels=512,
-    sparse_shape=(8, 32, 32),
+    sparse_shape=(24, 32, 32),
     base_channels=8,
     encoder_channels=((8,), (16, 16), (16, 16), (16, 16)),
     encoder_out_channels=16,
