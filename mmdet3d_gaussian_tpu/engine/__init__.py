@@ -1,1 +1,1 @@
-from . import detector, loop, pvrcnn  # noqa: F401
+from . import detector, loop, mvx, pvrcnn  # noqa: F401

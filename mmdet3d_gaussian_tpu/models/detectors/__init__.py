@@ -1,1 +1,1 @@
-from . import voxelnet  # noqa: F401
+from . import mvx_faster_rcnn, voxelnet  # noqa: F401
