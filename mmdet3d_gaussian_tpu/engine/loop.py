@@ -67,7 +67,8 @@ def restore_checkpoint(path: str, target):
 def run_training(det, cfg, work_dir: str, seed: int = 0,
                  max_steps: Optional[int] = None,
                  resume_from: Optional[str] = None,
-                 eval_interval: int = 0, log_interval: int = 50):
+                 eval_interval: int = 0, log_interval: int = 50,
+                 profile_steps: Optional[tuple] = None):
     import jax
     from ..parallel import train_state as ts
     from ..parallel.mesh import make_mesh, shard_batch, use_mesh
@@ -113,8 +114,16 @@ def run_training(det, cfg, work_dir: str, seed: int = 0,
             for batch in make_iter(seed + epoch):
                 batch.pop('metas', None)
                 sb = shard_batch(mesh, batch)
+                if profile_steps and step == profile_steps[0]:
+                    jax.profiler.start_trace(
+                        os.path.join(work_dir, 'profile'))
                 state, metrics = step_fn(state, sb)
                 step += 1
+                if profile_steps and step == profile_steps[1]:
+                    jax.block_until_ready(metrics)
+                    jax.profiler.stop_trace()
+                    print('profiler trace written to',
+                          os.path.join(work_dir, 'profile'))
                 if step % log_interval == 0:
                     jax.block_until_ready(metrics)
                     rec = {k: float(v) for k, v in metrics.items()}

@@ -11,6 +11,9 @@ plus reduced point clouds (points inside image FOV).
 """
 from __future__ import annotations
 
+import os.path as _osp
+import sys as _sys
+_sys.path.insert(0, _osp.join(_osp.dirname(_osp.abspath(__file__)), '..', '..'))
 import argparse
 import os
 import os.path as osp

@@ -1,6 +1,9 @@
 #!/usr/bin/env python
 """Dump pipeline outputs (points + GT boxes) as .obj for visual sanity checks
 (reference ``tools/misc/browse_dataset.py``; file dump instead of open3d)."""
+import os.path as _osp
+import sys as _sys
+_sys.path.insert(0, _osp.join(_osp.dirname(_osp.abspath(__file__)), '..', '..'))
 import argparse
 import json
 

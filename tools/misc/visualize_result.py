@@ -1,6 +1,9 @@
 #!/usr/bin/env python
 """Dump prediction results (pkl from tools/test.py --out) as .obj overlays
 (reference ``tools/misc/visualize_result.py``)."""
+import os.path as _osp
+import sys as _sys
+_sys.path.insert(0, _osp.join(_osp.dirname(_osp.abspath(__file__)), '..', '..'))
 import argparse
 import pickle
 

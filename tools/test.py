@@ -6,6 +6,9 @@ val split, converts fixed-size padded detections into per-class numpy arrays,
 and calls ``dataset.evaluate`` (the flexible COCO-style 3D mAP)."""
 from __future__ import annotations
 
+import os.path as _osp
+import sys as _sys
+_sys.path.insert(0, _osp.join(_osp.dirname(_osp.abspath(__file__)), '..'))
 import argparse
 import json
 import os

@@ -11,6 +11,9 @@ Multi-host: run one process per host with ``jax.distributed.initialize``
 """
 from __future__ import annotations
 
+import os.path as _osp
+import sys as _sys
+_sys.path.insert(0, _osp.join(_osp.dirname(_osp.abspath(__file__)), '..'))
 import argparse
 import json
 import os
@@ -28,6 +31,10 @@ def parse_args():
     p.add_argument('--max-steps', type=int, default=None,
                    help='override total optimization steps')
     p.add_argument('--eval-interval', type=int, default=0)
+    p.add_argument('--log-interval', type=int, default=50)
+    p.add_argument('--profile-steps', type=int, nargs=2, default=None,
+                   metavar=('START', 'STOP'),
+                   help='capture a jax.profiler trace between these steps')
     p.add_argument('--cfg-options', nargs='+', default=[],
                    help='key=value nested config overrides')
     p.add_argument('--distributed', action='store_true',
@@ -70,7 +77,10 @@ def main():
                                head_cfg=cfg.get('head'))
     run_training(det, cfg, work_dir, seed=args.seed,
                  max_steps=args.max_steps, resume_from=args.resume_from,
-                 eval_interval=args.eval_interval)
+                 eval_interval=args.eval_interval,
+                 log_interval=args.log_interval,
+                 profile_steps=tuple(args.profile_steps)
+                 if args.profile_steps else None)
 
 
 if __name__ == '__main__':
