@@ -71,6 +71,46 @@ def main():
     def apply_fn(vs, b, train):
         return det.apply_train(vs, b)
 
+    iters, windows = 10, 5
+
+    if os.environ.get('BENCH_SCAN', '0') == '1':
+        # One dispatch per window: lax.scan over `iters` DISTINCT batches
+        # (device-resident; nothing loop-invariant to hoist).  NOTE: under
+        # the experimental axon tunnel this path is pathologically slow
+        # (~300s compile, ~200x slower execution than the same step
+        # dispatched normally) — keep it for direct-attached hardware.
+        step = ts.make_train_step(apply_fn, det.loss, opt)
+        batches = [synthetic_batch(batch_size=batch_size,
+                                   num_points=num_points, num_gt=16, seed=s)
+                   for s in range(iters)]
+        stacked = jax.device_put(jax.tree_util.tree_map(
+            lambda *xs: np.stack([np.asarray(x) for x in xs]), *batches))
+
+        def multi_step(st, stacked_batches):
+            def body(carry, one_batch):
+                new_st, metrics = step(carry, one_batch)
+                return new_st, metrics['loss']
+            return jax.lax.scan(body, st, stacked_batches)
+
+        multi = jax.jit(multi_step, donate_argnums=(0,))
+        state, losses0 = multi(state, stacked)
+        jax.block_until_ready(losses0)
+        times = []
+        for _ in range(windows):
+            t0 = time.perf_counter()
+            state, losses0 = multi(state, stacked)
+            jax.block_until_ready(losses0)
+            times.append(time.perf_counter() - t0)
+        dt = sorted(times)[len(times) // 2]
+        points_per_s = batch_size * num_points * iters / dt
+        print(json.dumps({
+            'metric': 'points/s/chip (voxelize+splat+loss fwd/bwd, scan)',
+            'value': round(points_per_s, 1),
+            'unit': 'points/s',
+            'vs_baseline': None,
+        }))
+        return
+
     step = jax.jit(ts.make_train_step(apply_fn, det.loss, opt),
                    donate_argnums=(0,))
 
@@ -81,8 +121,9 @@ def main():
         state, metrics = step(state, batch)
     jax.block_until_ready(metrics)
 
-    # median over windows: robust to tunnel-dispatch latency spikes
-    iters, windows = 10, 5
+    # median over windows: robust to tunnel-dispatch latency spikes;
+    # within a window the 10 steps are dispatched asynchronously and
+    # chained by the donated state, so device execution is back-to-back.
     times = []
     for _ in range(windows):
         t0 = time.perf_counter()
