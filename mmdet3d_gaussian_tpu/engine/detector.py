@@ -146,6 +146,68 @@ def synthetic_batch(batch_size: int = 2, num_points: int = 8192,
                 gt_valid=jnp.asarray(valid))
 
 
+class ShardedPointPillarsDetector:
+    """PointPillars with the point axis sharded across chips (the
+    BASELINE.json north-star scale axis; no reference analogue — the
+    reference only divides the batch, SURVEY.md §2.11).
+
+    Uses the GSPMD dense-canvas trunk
+    (:class:`~mmdet3d_gaussian_tpu.parallel.sharded_model.ShardedPointPillarsNet`):
+    per-point MLP runs on local point slices, the pillar merge is one ICI
+    all-reduce placed by XLA.  Train under a 2D ``Mesh(('data', 'points'))``
+    with the batch sharded P('data') — the model constrains its own point
+    axis.  ``point_axis=None`` gives the identical unsharded program for
+    parity checks.
+    """
+
+    def __init__(self, model_cfg: Optional[Dict[str, Any]] = None,
+                 head_cfg: Optional[Dict[str, Any]] = None,
+                 point_axis: Optional[str] = 'points'):
+        from ..parallel.sharded_model import ShardedPointPillarsNet
+        mc = dict(KITTI_3CLASS_MODEL)
+        mc.update(model_cfg or {})
+        hc = dict(KITTI_3CLASS_HEAD)
+        hc.update(head_cfg or {})
+        for k in ('max_points_per_voxel', 'max_voxels_per_sample',
+                  'voxelize_mode', 'head_type'):
+            mc.pop(k, None)
+        self.trunk = ShardedPointPillarsNet(point_axis=point_axis, **mc)
+        self.head = GDAnchor3DHead(**hc)
+        self.model_cfg = mc
+        nx, ny = self.trunk._grid()
+        stride = mc['backbone_cfg']['layer_strides'][0]
+        self.featmap_size = (ny // stride, nx // stride)
+        self.anchors = self.head.anchors_for(self.featmap_size)
+
+    def init(self, rng, batch):
+        return self.trunk.init(rng, batch['points'], batch['points_mask'],
+                               train=False)
+
+    def apply_train(self, variables, batch):
+        (cls, bbox, dirp), aux = self.trunk.apply(
+            variables, batch['points'], batch['points_mask'], train=True,
+            mutable=['batch_stats'])
+        return (cls, bbox, dirp), aux['batch_stats']
+
+    def apply_eval(self, variables, batch):
+        return self.trunk.apply(variables, batch['points'],
+                                batch['points_mask'], train=False)
+
+    def loss(self, outputs, batch):
+        cls, bbox, dirp = outputs
+        targets = jax.vmap(self.head.get_targets, in_axes=(None, 0, 0, 0))(
+            self.anchors, batch['gt_bboxes'], batch['gt_labels'],
+            batch['gt_valid'])
+        losses = self.head.loss(cls, bbox, dirp, self.anchors, targets)
+        total = sum(losses.values())
+        return total, losses
+
+    def predict(self, variables, batch):
+        cls, bbox, dirp = self.apply_eval(variables, batch)
+        return jax.vmap(self.head.get_bboxes, in_axes=(0, 0, 0, None))(
+            cls, bbox, dirp, self.anchors)
+
+
 # ---------------------------------------------------------------------------
 # CenterPoint family (reference configs/_base_/models/
 # centerpoint_02pillar_second_secfpn_nus.py + the GD yaw-mode variant)
