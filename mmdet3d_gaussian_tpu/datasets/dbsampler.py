@@ -125,7 +125,10 @@ class DataBaseSampler:
     def sample_all(self, gt_bboxes: np.ndarray, gt_labels: np.ndarray,
                    img=None, ground_plane=None) -> Optional[Dict]:
         sampled, sampled_boxes = [], []
-        avoid = np.asarray(gt_bboxes, np.float32).reshape(-1, 7)[:, :7]
+        gt = np.asarray(gt_bboxes, np.float32)
+        # boxes may carry velocity columns (nuScenes 9-dim); collisions only
+        # need the 7 geometric dims
+        avoid = gt[:, :7] if gt.size else np.zeros((0, 7), np.float32)
         for name, max_num in zip(self.sample_classes, self.sample_max_nums):
             label = self.cat2label[name]
             want = int(np.round(self.rate * (max_num

@@ -121,11 +121,15 @@ class RandomFlip3D:
             gt = results['gt_bboxes']
             gt[:, 1] *= -1
             gt[:, 6] = -gt[:, 6]
+            if gt.shape[1] > 8:               # velocity vy flips with y
+                gt[:, 8] *= -1
         if self.rng.rand() < self.ratio_v:    # flip x
             results['points'][:, 0] *= -1
             gt = results['gt_bboxes']
             gt[:, 0] *= -1
             gt[:, 6] = np.pi - gt[:, 6]
+            if gt.shape[1] > 7:               # velocity vx flips with x
+                gt[:, 7] *= -1
         return results
 
 
@@ -213,8 +217,16 @@ class ObjectSample:
             results['gt_bboxes'], results['gt_labels'], ground_plane=plane)
         if sampled is None:
             return results
+        new_boxes = sampled['gt_bboxes']
+        width = results['gt_bboxes'].shape[1] \
+            if results['gt_bboxes'].size else new_boxes.shape[1]
+        if new_boxes.shape[1] < width:   # pad zero velocities (nuScenes)
+            new_boxes = np.concatenate(
+                [new_boxes, np.zeros((len(new_boxes),
+                                      width - new_boxes.shape[1]),
+                                     new_boxes.dtype)], 1)
         results['gt_bboxes'] = np.concatenate(
-            [results['gt_bboxes'], sampled['gt_bboxes']], 0)
+            [results['gt_bboxes'].reshape(-1, width), new_boxes], 0)
         results['gt_labels'] = np.concatenate(
             [results['gt_labels'], sampled['gt_labels']], 0)
         # remove original points inside sampled boxes, then paste points

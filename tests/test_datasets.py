@@ -170,3 +170,57 @@ def test_dbsampler(tmp_path):
     coll = _boxes_collide_bev(out['gt_bboxes'], out['gt_bboxes'])
     np.fill_diagonal(coll, False)
     assert not coll.any()
+
+
+def test_flip_velocity_columns():
+    """9-dim boxes (nuScenes): vy flips with y, vx flips with x."""
+    from mmdet3d_gaussian_tpu.datasets.pipelines import RandomFlip3D
+    gt = np.array([[1., 2., -1., 4., 2., 1.5, 0.3, 0.7, -0.4]], np.float32)
+    pts = np.zeros((4, 4), np.float32)
+    r = dict(points=pts.copy(), gt_bboxes=gt.copy())
+    RandomFlip3D(flip_ratio_bev_horizontal=1.0, seed=0)(r)
+    assert r['gt_bboxes'][0, 8] == 0.4 and r['gt_bboxes'][0, 7] == 0.7
+    r = dict(points=pts.copy(), gt_bboxes=gt.copy())
+    RandomFlip3D(flip_ratio_bev_horizontal=0.0,
+                 flip_ratio_bev_vertical=1.0, seed=0)(r)
+    assert r['gt_bboxes'][0, 7] == -0.7 and r['gt_bboxes'][0, 8] == -0.4
+
+
+def test_dbsampler_vel_boxes_and_objectsample_pad(tmp_path):
+    """sample_all accepts 9-dim gt; ObjectSample pads sampled to 9 cols."""
+    import pickle
+    from mmdet3d_gaussian_tpu.datasets.dbsampler import DataBaseSampler
+    from mmdet3d_gaussian_tpu.datasets.pipelines import ObjectSample
+    rng = np.random.RandomState(0)
+    (tmp_path / 'patches').mkdir(exist_ok=True)
+    db_infos = {'Car': []}
+    for i in range(6):
+        pts = rng.randn(20, 4).astype(np.float32) * 0.3
+        path = f'patches/car_{i}.npy'
+        np.save(tmp_path / path, pts)
+        box = np.r_[rng.uniform(-20, 20, 2), [-1.5], [3.9, 1.6, 1.5],
+                    rng.uniform(-3, 3, 1)].astype(np.float32)
+        db_infos['Car'].append(dict(name='Car', path=path, box3d_lidar=box,
+                                    num_points_in_gt=20, difficulty=0))
+    info_path = tmp_path / 'dbinfos.pkl'
+    with open(info_path, 'wb') as f:
+        pickle.dump(db_infos, f)
+    sampler_cfg = dict(
+        info_path=str(info_path), data_root=str(tmp_path), rate=1.0,
+        prepare={}, sample_groups=dict(Car=4), classes=['Car'],
+        points_loader=dict(load_dim=4, use_dim=4), seed=0)
+
+    gt9 = np.zeros((2, 9), np.float32)
+    gt9[:, :2] = [[100, 100], [-100, -100]]
+    gt9[:, 3:6] = [3.9, 1.6, 1.5]
+    sampler = DataBaseSampler(**sampler_cfg)
+    out = sampler.sample_all(gt9, np.zeros(2, np.int64))
+    assert out is not None and out['gt_bboxes'].shape[1] == 7
+
+    os_t = ObjectSample(db_sampler=dict(type='DataBaseSampler',
+                                        **sampler_cfg))
+    r = dict(points=rng.randn(50, 4).astype(np.float32) * 30,
+             gt_bboxes=gt9.copy(), gt_labels=np.zeros(2, np.int64))
+    r = os_t(r)
+    assert r['gt_bboxes'].shape[1] == 9        # sampled rows zero-padded
+    assert len(r['gt_bboxes']) == len(r['gt_labels']) > 2
