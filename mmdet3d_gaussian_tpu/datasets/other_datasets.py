@@ -96,8 +96,13 @@ class NuScenesDataset:
         return self.pipeline(results)
 
     def evaluate(self, results, metric='iou3d_err', logger=None, **kwargs):
-        """Flexible eval; the reference maps ``iou3d_err -> mAIE``
-        (``nuscenes_dataset.py:6-14``)."""
+        """Flexible eval reported under the reference's ``mAIE`` name.
+
+        The reference (``nuscenes_dataset.py:6-14``) only extends the
+        upstream devkit's ErrNameMapping with ``iou3d_err -> mAIE``; the
+        actual number there comes from the nuScenes devkit. Without the
+        devkit, this adapter reports IoU3D-matched flexible mAP under the
+        same key (documented deviation, PARITY.md)."""
         annotations = [self.get_ann_info(i) for i in range(len(self))]
         rep = eval_map_flexible(
             results, annotations, match_thrs=[0.5, 0.7],

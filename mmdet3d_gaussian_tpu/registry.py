@@ -83,3 +83,7 @@ PIPELINES = Registry('pipelines')
 EVAL_MATCHERS = Registry('eval_matchers')
 EVAL_AFFINITY_CALS = Registry('eval_affinity_calculators')
 EVAL_BREAKDOWNS = Registry('eval_breakdowns')
+# present for config parity with the reference builder
+# (core/evaluation/builder.py:7); the reference registers no TP metrics
+# either — its mAIE comes from the upstream nuScenes devkit name mapping
+EVAL_TPMETRIC = Registry('eval_tp_metric')
