@@ -1,5 +1,6 @@
 # MVF pillars + CenterPoint head (reference
 # configs/kitti/pillarmvf_centerpoint_secfpn_8x4_160e_kitti-3d-3class.py)
+_base_ = ['../_base_/datasets/kitti-3d-3class.py']
 voxel_size = [0.16, 0.16, 4]
 point_cloud_range = [0, -39.68, -3, 69.12, 39.68, 1]
 model = dict(

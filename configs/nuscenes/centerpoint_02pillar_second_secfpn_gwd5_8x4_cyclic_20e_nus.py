@@ -1,4 +1,5 @@
 # nuScenes CenterPoint-pillar with GWD loss on decoded boxes (CenterGDHead).
+_base_ = ['../_base_/datasets/nus-3d.py']
 voxel_size = [0.2, 0.2, 8]
 point_cloud_range = [-51.2, -51.2, -5.0, 51.2, 51.2, 3.0]
 model = dict(

@@ -1,6 +1,7 @@
 # Waymo full-range PointPillars + GWD (reference waymo config family).
 # SyncBN comes free: BN uses axis_name psum when the model is built with
 # axis_name='data'.
+_base_ = ['../_base_/datasets/waymo-3d-3class.py']
 voxel_size = [0.32, 0.32, 6]
 point_cloud_range = [-74.88, -74.88, -2, 74.88, 74.88, 4]
 model = dict(

@@ -51,6 +51,8 @@ class SharedList:
                 buf = pickle.dumps(item, protocol=pickle.HIGHEST_PROTOCOL)
                 f.write(buf)
                 offsets.append(offsets[-1] + len(buf))
+            if offsets[-1] == 0:
+                f.write(b'\0')   # mmap cannot map past EOF of an empty blob
         tmp_idx = self._idx_path + '.tmp'
         np.asarray(offsets, dtype=np.int64).tofile(tmp_idx)
         os.rename(tmp_blob, self._blob_path)

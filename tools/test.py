@@ -44,7 +44,8 @@ def main():
     import jax
     import mmdet3d_gaussian_tpu  # noqa: F401
     from mmdet3d_gaussian_tpu.utils.config import Config
-    from mmdet3d_gaussian_tpu.engine.detector import PointPillarsDetector
+    from mmdet3d_gaussian_tpu.engine.detector import (
+        CenterPointDetector, PointPillarsDetector)
     from mmdet3d_gaussian_tpu.engine.loop import (build_dataloader,
                                                   restore_checkpoint)
 
@@ -60,8 +61,10 @@ def main():
             opts[k] = v
         cfg.merge_from_dict(opts)
 
-    det = PointPillarsDetector(model_cfg=cfg.get('model'),
-                               head_cfg=cfg.get('head'))
+    det_cls = (CenterPointDetector
+               if (cfg.get('model') or {}).get('head_type') == 'center'
+               else PointPillarsDetector)
+    det = det_cls(model_cfg=cfg.get('model'), head_cfg=cfg.get('head'))
     ds, make_iter = build_dataloader(cfg, 'val')
 
     first = next(make_iter(0))

@@ -51,7 +51,8 @@ def main():
     import jax.numpy as jnp
     import mmdet3d_gaussian_tpu  # noqa: F401 (registers everything)
     from mmdet3d_gaussian_tpu.utils.config import Config
-    from mmdet3d_gaussian_tpu.engine.detector import PointPillarsDetector
+    from mmdet3d_gaussian_tpu.engine.detector import (
+        CenterPointDetector, PointPillarsDetector)
     from mmdet3d_gaussian_tpu.engine.loop import (build_dataloader,
                                                   run_training)
 
@@ -73,8 +74,10 @@ def main():
                                      os.path.basename(args.config))[0]))
     os.makedirs(work_dir, exist_ok=True)
 
-    det = PointPillarsDetector(model_cfg=cfg.get('model'),
-                               head_cfg=cfg.get('head'))
+    det_cls = (CenterPointDetector
+               if (cfg.get('model') or {}).get('head_type') == 'center'
+               else PointPillarsDetector)
+    det = det_cls(model_cfg=cfg.get('model'), head_cfg=cfg.get('head'))
     run_training(det, cfg, work_dir, seed=args.seed,
                  max_steps=args.max_steps, resume_from=args.resume_from,
                  eval_interval=args.eval_interval,
