@@ -22,6 +22,10 @@ def build_dataloader(cfg, split: str = 'train'):
     from ..datasets.pipelines import collate_batch
 
     data_cfg = dict(cfg.get('data', {}).get(split, {}))
+    if not data_cfg:
+        raise KeyError(
+            f"config has no data.{split} section (data keys: "
+            f"{sorted(cfg.get('data', {}).keys())})")
     ds = DATASETS.build(data_cfg)
     batch_size = int(cfg.get('data', {}).get('samples_per_gpu', 4))
     shuffle = split == 'train'
