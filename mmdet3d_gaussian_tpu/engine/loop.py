@@ -94,7 +94,8 @@ def run_training(det, cfg, work_dir: str, seed: int = 0,
 
     # init from one real batch
     first = next(make_iter(seed))
-    variables = det.init(jax.random.PRNGKey(seed), first)
+    first.pop('metas', None)   # non-array; jitted init takes arrays only
+    variables = jax.jit(det.init)(jax.random.PRNGKey(seed), first)
     state = ts.init_state(variables['params'], variables['batch_stats'],
                           optimizer)
     if resume_from:

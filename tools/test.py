@@ -21,6 +21,9 @@ def parse_args():
     p.add_argument('config')
     p.add_argument('checkpoint', nargs='?', default=None)
     p.add_argument('--metric', default='cowa')
+    p.add_argument('--bf16', action='store_true',
+                   help="eval with bf16 compute (the reference's fp16 wrap "
+                        "analogue); BN/decode stay f32")
     p.add_argument('--out', default=None, help='dump results pkl')
     p.add_argument('--cfg-options', nargs='+', default=[])
     return p.parse_args()
@@ -64,12 +67,19 @@ def main():
     det_cls = (CenterPointDetector
                if (cfg.get('model') or {}).get('head_type') == 'center'
                else PointPillarsDetector)
-    det = det_cls(model_cfg=cfg.get('model'), head_cfg=cfg.get('head'))
+    model_cfg = dict(cfg.get('model') or {})
+    if args.bf16:
+        # the reference wraps the model with mmcv fp16; here bf16 is a
+        # compute-dtype switch.  fuse-conv-bn has no TPU analogue: XLA
+        # folds inference-mode BN affine math into the convs at compile
+        # time, so there is nothing to fuse by hand.
+        model_cfg['compute_dtype'] = 'bfloat16'
+    det = det_cls(model_cfg=model_cfg, head_cfg=cfg.get('head'))
     ds, make_iter = build_dataloader(cfg, 'val')
 
     first = next(make_iter(0))
     first.pop('metas', None)
-    variables = det.init(jax.random.PRNGKey(0), first)
+    variables = jax.jit(det.init)(jax.random.PRNGKey(0), first)
     if args.checkpoint:
         # the restore target must match the saved TrainState structure,
         # including the optimizer state pytree
