@@ -177,3 +177,117 @@ def test_preprocess_matches_reference(ref_mod):
     np.testing.assert_allclose(syy, cov_ref[:, 1, 1], rtol=1e-5)
     np.testing.assert_allclose(np.asarray(gp['sl'], np.float64) ** 2,
                                (Sl_t ** 2).numpy(), rtol=1e-5)
+
+
+@pytest.fixture(scope='module')
+def ref_coders():
+    """Load the reference coder modules with mmdet stubbed out."""
+    saved = {k: sys.modules.get(k) for k in
+             ('mmdet', 'mmdet.core', 'mmdet.core.bbox',
+              'mmdet.core.bbox.builder', 'refcoders')}
+
+    class _Reg:
+        @staticmethod
+        def register_module(*a, **k):
+            def deco(cls):
+                return cls
+            return deco
+
+    class _Base:
+        def __init__(self, *a, **k):
+            pass
+
+    mmdet = types.ModuleType('mmdet')
+    core = types.ModuleType('mmdet.core')
+    bbox = types.ModuleType('mmdet.core.bbox')
+    bbox.BaseBBoxCoder = _Base
+    builder = types.ModuleType('mmdet.core.bbox.builder')
+    builder.BBOX_CODERS = _Reg()
+    pkg = types.ModuleType('refcoders')
+    pkg.__path__ = []
+    sys.modules.update({'mmdet': mmdet, 'mmdet.core': core,
+                        'mmdet.core.bbox': bbox,
+                        'mmdet.core.bbox.builder': builder,
+                        'refcoders': pkg})
+    base = '/root/reference/mmdet3d_gaussian/core/bbox/coders/'
+    try:
+        mods = {}
+        for name in ('centerpoint_bbox_coders', 'point_bbox_yaw_coders',
+                     'centerpoint_bbox_yaw_coders'):
+            if name == 'centerpoint_bbox_yaw_coders':
+                # `from . import CenterPointBBoxCoderRev`
+                pkg.CenterPointBBoxCoderRev = \
+                    mods['centerpoint_bbox_coders'].CenterPointBBoxCoderRev
+            spec = importlib.util.spec_from_file_location(
+                f'refcoders.{name}', base + name + '.py')
+            mod = importlib.util.module_from_spec(spec)
+            sys.modules[f'refcoders.{name}'] = mod
+            spec.loader.exec_module(mod)
+            mods[name] = mod
+        yield mods
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                sys.modules.pop(k, None)
+            else:
+                sys.modules[k] = v
+        for name in ('centerpoint_bbox_coders', 'point_bbox_yaw_coders',
+                     'centerpoint_bbox_yaw_coders'):
+            sys.modules.pop(f'refcoders.{name}', None)
+
+
+@pytest.mark.parametrize('correct_yaw', [True, False])
+def test_point_bbox_yaw_coder_matches_reference(ref_coders, correct_yaw):
+    import jax.numpy as jnp
+    from mmdet3d_gaussian_tpu.core.bbox.coders import PointBBoxYawCoder
+
+    ref = ref_coders['point_bbox_yaw_coders'].PointBBoxYawCoder()
+    ours = PointBBoxYawCoder()
+    rng = np.random.RandomState(5)
+
+    # encode
+    boxes = _boxes(6).reshape(1, -1, 7)
+    enc_ref = ref.encode(torch.tensor(boxes)).numpy()
+    enc_our = np.asarray(ours.encode(jnp.asarray(boxes)))
+    np.testing.assert_allclose(enc_our, enc_ref, rtol=1e-6)
+
+    # decode — includes dir-vs-yaw mismatches that trigger the rot90 snap
+    priors = np.concatenate(
+        [rng.uniform(-20, 20, (1, 24, 2)),
+         rng.choice([1., 2., 4.], (1, 24, 1))], -1).astype(np.float32)
+    preds = rng.randn(1, 24, 9).astype(np.float32)
+    dec_ref = ref.decode(torch.tensor(priors), torch.tensor(preds),
+                         correct_yaw=correct_yaw).numpy()
+    dec_our = np.asarray(ours.decode(jnp.asarray(priors),
+                                     jnp.asarray(preds),
+                                     correct_yaw=correct_yaw))
+    np.testing.assert_allclose(dec_our, dec_ref, rtol=1e-4, atol=1e-5)
+
+
+def test_centerpoint_yaw_coder_matches_reference(ref_coders):
+    import jax.numpy as jnp
+    from mmdet3d_gaussian_tpu.core.bbox.coders import CenterPointBBoxYawCoder
+
+    pc_range = (-51.2, -51.2, -5.0, 51.2, 51.2, 3.0)
+    vs = (0.2, 0.2, 8.0)
+    ref = ref_coders['centerpoint_bbox_yaw_coders'].CenterPointBBoxYawCoder(
+        pc_range=pc_range, out_size_factor=4, voxel_size=vs)
+    ours = CenterPointBBoxYawCoder(pc_range=pc_range, voxel_size=vs,
+                                   out_size_factor=4)
+
+    rng = np.random.RandomState(7)
+    k = 32
+    locs = rng.randint(0, 128, (1, k, 2)).astype(np.float32)
+    preds = rng.randn(1, k, 9).astype(np.float32)
+    dec_ref = ref.decode(torch.tensor(locs), torch.tensor(preds)).numpy()
+    dec_our = np.asarray(ours.decode_cells(
+        jnp.asarray(preds), jnp.asarray(locs[..., 0]),
+        jnp.asarray(locs[..., 1])))
+    # conventions: the reference emits gravity-center z and converts to
+    # bottom-center later in the head; ours emits bottom-center directly
+    np.testing.assert_allclose(dec_our[..., :2], dec_ref[..., :2],
+                               rtol=1e-5, atol=1e-4)
+    np.testing.assert_allclose(dec_our[..., 2] + dec_our[..., 5] * 0.5,
+                               dec_ref[..., 2], rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(dec_our[..., 3:7], dec_ref[..., 3:7],
+                               rtol=1e-4, atol=1e-5)
