@@ -331,12 +331,12 @@ class CenterHead:
             boxes, scores, cls, valid = (boxes[order], scores[order],
                                          cls[order], valid[order])
             if nms_type == 'circle':
-                keep = circle_nms(boxes[:, :2], scores,
-                                  float(cfg.get('min_radius_task',
-                                                [4.0] * len(preds))[t]
-                                        if isinstance(cfg.get(
-                                            'min_radius_task'), (list, tuple))
-                                        else cfg.get('min_radius', 4.0)),
+                # Reference configs pass 'min_radius' as a per-task list
+                # (mmdet3d centerpoint test_cfg); a scalar applies to all.
+                mr = cfg.get('min_radius_task', cfg.get('min_radius', 4.0))
+                if isinstance(mr, (list, tuple)):
+                    mr = mr[t]
+                keep = circle_nms(boxes[:, :2], scores, float(mr),
                                   valid=valid)
             else:
                 bev = jnp.stack([boxes[:, 0], boxes[:, 1], boxes[:, 3],

@@ -80,14 +80,18 @@ def nms_normal_bev(boxes, scores, thr: float, valid=None):
     return _suppress_sweep(iou, valid, thr)
 
 
-def circle_nms(centers, scores, radius: float, valid=None):
-    """CenterPoint circle NMS: suppress by center distance < radius
-    (reference usage ``gd_centerpoint_head.py:256-281``; CPU numpy there,
-    vectorized here).  Inputs sorted by descending score."""
+def circle_nms(centers, scores, min_radius: float, valid=None):
+    """CenterPoint circle NMS (reference usage ``gd_centerpoint_head.py:256-281``).
+
+    Quirk preserved from mmdet3d's ``circle_nms``: the config value
+    ``min_radius`` is compared against the *squared* center distance
+    (suppress when ``d^2 < min_radius``), i.e. the effective suppression
+    radius is ``sqrt(min_radius)`` metres — it is NOT squared here.
+    Inputs sorted by descending score."""
     if valid is None:
         valid = jnp.ones(centers.shape[:1], bool)
     d2 = jnp.sum((centers[:, None, :] - centers[None, :, :]) ** 2, -1)
-    return _suppress_sweep(-d2, valid, -(radius * radius))
+    return _suppress_sweep(-d2, valid, -min_radius)
 
 
 def topk_sorted(scores, k: int, *arrays):

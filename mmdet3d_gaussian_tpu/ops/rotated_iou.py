@@ -120,18 +120,25 @@ def iou_bev(boxes1, boxes2, eps: float = 1e-6):
     return inter / jnp.maximum(a1[:, None] + a2[None, :] - inter, eps)
 
 
-def iou_3d(boxes1, boxes2, z_offset: float = 0.0, eps: float = 1e-6):
+def iou_3d(boxes1, boxes2, z_offset: float = 0.5, eps: float = 1e-6):
     """Pairwise 3D IoU of 7-dim bottom-centered boxes: BEV polygon overlap
-    x z-extent overlap (reference ``iou_3d``, ``affinity.cpp:8-49``; the
-    z_offset parameter shifts the gt z like the reference's evaluator).
+    x z-extent overlap (reference ``iou_3d``, ``affinity.cpp:8-49``).
+
+    ``z_offset`` uses the reference's fractional-height parametrization,
+    applied to BOTH box sets: ``z_bottom = z + (z_offset - 0.5) * dz``,
+    ``z_top = z + (z_offset + 0.5) * dz``.  For bottom-centered boxes
+    ``z_offset=0.5`` means no shift (matches ``geometry_np.iou_3d`` and
+    ``csrc/eval_ops.cpp``).
     """
     bev1 = jnp.concatenate([boxes1[:, 0:2], boxes1[:, 3:5], boxes1[:, 6:7]],
                            axis=-1)
     bev2 = jnp.concatenate([boxes2[:, 0:2], boxes2[:, 3:5], boxes2[:, 6:7]],
                            axis=-1)
     inter_bev = intersect_area_bev(bev1, bev2)
-    z1lo, z1hi = boxes1[:, 2] + z_offset, boxes1[:, 2] + z_offset + boxes1[:, 5]
-    z2lo, z2hi = boxes2[:, 2], boxes2[:, 2] + boxes2[:, 5]
+    z1lo = boxes1[:, 2] + (z_offset - 0.5) * boxes1[:, 5]
+    z1hi = boxes1[:, 2] + (z_offset + 0.5) * boxes1[:, 5]
+    z2lo = boxes2[:, 2] + (z_offset - 0.5) * boxes2[:, 5]
+    z2hi = boxes2[:, 2] + (z_offset + 0.5) * boxes2[:, 5]
     zov = jnp.clip(jnp.minimum(z1hi[:, None], z2hi[None, :])
                    - jnp.maximum(z1lo[:, None], z2lo[None, :]), 0.0)
     v1 = boxes1[:, 3] * boxes1[:, 4] * boxes1[:, 5]
