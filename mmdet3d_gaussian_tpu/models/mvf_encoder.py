@@ -214,16 +214,18 @@ class PillarMVFFeatureNet(nn.Module):
             scatters.append(build_scatter(c4, (b, nx, ny, nz),
                                           self.max_voxels))
 
-        feats = [flat[:, 3:]]
+        # reference concat order (pillar_mvf_encoder.py:230-235):
+        # per-view stats first, extra point channels last
+        feats = []
         for i, (vp, sc, vs, pcr) in enumerate(zip(
                 view_pts, scatters, self.voxel_size,
                 self.point_cloud_range)):
             pvsc = PointVoxelStatsCalculator(
                 voxel_size=vs, point_cloud_range=pcr,
                 with_covariance=self.with_covariance,
-                with_voxel_offset=True, with_count=True,
                 name=f'stats_{i}')
             feats.append(pvsc(vp[:, :3], sc))
+        feats.append(flat[:, 3:])
         x = jnp.concatenate(feats, -1)
         valid = ~invalid
 

@@ -89,27 +89,42 @@ class MaskedBatchNorm(nn.Module):
 
 
 class PFNLayer(nn.Module):
-    """Dense -> BN -> ReLU -> (optionally) masked max over points dim.
+    """Dense -> BN -> ReLU -> max over points dim.
 
     Reference PFNLayer semantics (mmdet3d, used at
     ``pillar_encoder.py:141-148``); last layer collapses the points axis.
+
+    ``masked_max=False`` (default) reproduces the reference exactly: the max
+    runs over ALL rows including padding (padded inputs are zero, but after
+    BN's affine + ReLU they carry a per-channel constant that participates in
+    the max — a quirk the reference weights are trained with).
+    ``masked_max=True`` is the cleaned-up variant (padding excluded).
+
+    Non-last layers emit ``out_channels // 2`` units and concat them with the
+    tiled pillar max — total ``out_channels`` — exactly the upstream PFNLayer
+    structure, so multi-layer stacks keep the reference channel counts.
     """
     out_channels: int
     last_layer: bool = False
+    masked_max: bool = False
     axis_name: Optional[str] = None
     dtype: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, mask, train: bool):
         # x: (P, N, C); mask: (P, N) bool
-        y = nn.Dense(self.out_channels, use_bias=False, dtype=self.dtype,
+        units = self.out_channels if self.last_layer \
+            else self.out_channels // 2
+        y = nn.Dense(units, use_bias=False, dtype=self.dtype,
                      name='linear')(x)
         y = MaskedBatchNorm(axis_name=self.axis_name, name='norm')(
             y, mask=mask, use_running_average=not train)
         y = nn.relu(y)
-        neg = jnp.asarray(-1e4, y.dtype)
-        masked = jnp.where(mask[..., None], y, neg)
-        pooled = jnp.max(masked, axis=-2)                      # (P, C)
+        if self.masked_max:
+            neg = jnp.asarray(-1e4, y.dtype)
+            pooled = jnp.max(jnp.where(mask[..., None], y, neg), axis=-2)
+        else:
+            pooled = jnp.max(y, axis=-2)                       # (P, C)
         if self.last_layer:
             return pooled
         # concat per-point features with pooled pillar feature
@@ -124,7 +139,8 @@ class PillarFeatureNet(nn.Module):
     Input: padded pillars (P, N_max, C_in) + integer coords + counts.
     Decoration (``legacy=False`` float-precision variant):
       * cluster offset: xyz - mean(xyz over valid points)   (:107-112)
-      * center offset: xy - pillar center from integer coords (:116-139)
+      * center offset: xyz - pillar center from integer coords — THREE
+        channels incl. z, like the reference (:116-139, in_channels += 3)
       * optional ||xyz|| range feature
     """
     in_channels: int = 4
@@ -134,12 +150,13 @@ class PillarFeatureNet(nn.Module):
     with_voxel_center: bool = True
     voxel_size: Sequence[float] = (0.16, 0.16, 4.0)
     point_cloud_range: Sequence[float] = (0., -39.68, -3., 69.12, 39.68, 1.)
+    masked_max: bool = False
     axis_name: Optional[str] = None
     dtype: Optional[str] = None
 
     @nn.compact
     def __call__(self, voxels, coords, num_points, train: bool = False):
-        """voxels (P, N, C); coords (P, 3+) int (ix, iy, ...) or batched
+        """voxels (P, N, C); coords (P, 3+) int (ix, iy, iz) or batched
         (P, 4) (b, ix, iy, iz); num_points (P,)."""
         p, n, _ = voxels.shape
         mask = (jnp.arange(n)[None, :] < num_points[:, None])  # (P, N)
@@ -153,13 +170,17 @@ class PillarFeatureNet(nn.Module):
             feats.append(xyz - mean[:, None, :])
         if self.with_voxel_center:
             has_batch = coords.shape[-1] == 4
-            ix = coords[:, 1] if has_batch else coords[:, 0]
-            iy = coords[:, 2] if has_batch else coords[:, 1]
-            vx, vy = self.voxel_size[0], self.voxel_size[1]
+            off = 1 if has_batch else 0
+            ix = coords[:, off + 0]
+            iy = coords[:, off + 1]
+            iz = coords[:, off + 2]
+            vx, vy, vz = self.voxel_size[:3]
             cx = (ix.astype(voxels.dtype) + 0.5) * vx + self.point_cloud_range[0]
             cy = (iy.astype(voxels.dtype) + 0.5) * vy + self.point_cloud_range[1]
+            cz = (iz.astype(voxels.dtype) + 0.5) * vz + self.point_cloud_range[2]
             feats.append(jnp.stack(
-                [xyz[..., 0] - cx[:, None], xyz[..., 1] - cy[:, None]],
+                [xyz[..., 0] - cx[:, None], xyz[..., 1] - cy[:, None],
+                 xyz[..., 2] - cz[:, None]],
                 axis=-1))
         if self.with_distance:
             feats.append(jnp.linalg.norm(xyz, axis=-1, keepdims=True))
@@ -167,6 +188,7 @@ class PillarFeatureNet(nn.Module):
         x = jnp.concatenate(feats, axis=-1) * fmask
         for i, ch in enumerate(self.feat_channels):
             x = PFNLayer(ch, last_layer=(i == len(self.feat_channels) - 1),
+                         masked_max=self.masked_max,
                          axis_name=self.axis_name, dtype=self.dtype,
                          name=f'pfn_{i}')(
                 x, mask, train)
@@ -175,64 +197,63 @@ class PillarFeatureNet(nn.Module):
 
 class PointVoxelStatsCalculator(nn.Module):
     """Per-point decoration from voxel statistics (reference
-    ``models/voxel_encoders/utils.py:7-89``), computed with scatter
-    reduce/mapback instead of atomics.
+    ``models/voxel_encoders/utils.py:7-89``), computed with sort-based
+    scatter reduce/mapback instead of atomics.
 
-    Features (toggles mirror the reference):
-      cluster mean xyz, offset-to-mean, 3x3 covariance upper triangle
-      (outer-product second moments, :59-64), voxel center, offset-to-center,
-      point count.
+    Channel layout matches the reference exactly (same toggle names, same
+    order): raw xyz first, then optionally cluster mean (3), offset-to-mean
+    (3), full 3x3 covariance as 9 outer-product channels (:66-72), 3-D voxel
+    center (3), 3-D offset-to-center (3), point count (1).
     """
     voxel_size: Sequence[float]
     point_cloud_range: Sequence[float]
     with_cluster_center: bool = True
-    with_cluster_offset: bool = True
-    with_covariance: bool = False
+    with_cluster_center_offset: bool = True
+    with_covariance: bool = True
     with_voxel_center: bool = True
-    with_voxel_offset: bool = False
-    with_count: bool = False
+    with_voxel_point_count: bool = True
+    with_voxel_center_offset: bool = True
 
     @property
     def out_channels(self) -> int:
-        c = 0
+        c = 3  # raw xyz (reference utils.py:33)
         c += 3 if self.with_cluster_center else 0
-        c += 3 if self.with_cluster_offset else 0
-        c += 6 if self.with_covariance else 0
-        c += 2 if self.with_voxel_center else 0
-        c += 2 if self.with_voxel_offset else 0
-        c += 1 if self.with_count else 0
+        c += 3 if self.with_cluster_center_offset else 0
+        c += 9 if self.with_covariance else 0
+        c += 3 if self.with_voxel_center else 0
+        c += 3 if self.with_voxel_center_offset else 0
+        c += 1 if self.with_voxel_point_count else 0
         return c
 
     def __call__(self, points_xyz, scatter: Scatter):
-        feats = []
+        feats = [points_xyz]
         mean = scatter.reduce_mapback(points_xyz, 'mean')       # (N, 3)
         off = points_xyz - mean
         if self.with_cluster_center:
             feats.append(mean)
-        if self.with_cluster_offset:
+        if self.with_cluster_center_offset:
             feats.append(off)
         if self.with_covariance:
-            outer = jnp.stack([
-                off[:, 0] * off[:, 0], off[:, 0] * off[:, 1],
-                off[:, 0] * off[:, 2], off[:, 1] * off[:, 1],
-                off[:, 1] * off[:, 2], off[:, 2] * off[:, 2]], axis=-1)
+            outer = (off[:, None, :] * off[:, :, None]).reshape(-1, 9)
             feats.append(scatter.reduce_mapback(outer, 'mean'))
-        if self.with_voxel_center or self.with_voxel_offset:
+        if self.with_voxel_center or self.with_voxel_center_offset:
             # voxel centers from the per-point coords gathered off the
             # scatter's voxel_coords (batch col first when present)
             vc = scatter.mapback(
                 scatter.voxel_coords.astype(points_xyz.dtype))
-            has_batch = scatter.voxel_coords.shape[-1] == 4
-            ix = vc[:, 1] if has_batch else vc[:, 0]
-            iy = vc[:, 2] if has_batch else vc[:, 1]
-            cx = (ix + 0.5) * self.voxel_size[0] + self.point_cloud_range[0]
-            cy = (iy + 0.5) * self.voxel_size[1] + self.point_cloud_range[1]
-            ctr = jnp.stack([cx, cy], axis=-1)
+            o = 1 if scatter.voxel_coords.shape[-1] == 4 else 0
+            cx = (vc[:, o + 0] + 0.5) * self.voxel_size[0] \
+                + self.point_cloud_range[0]
+            cy = (vc[:, o + 1] + 0.5) * self.voxel_size[1] \
+                + self.point_cloud_range[1]
+            cz = (vc[:, o + 2] + 0.5) * self.voxel_size[2] \
+                + self.point_cloud_range[2]
+            ctr = jnp.stack([cx, cy, cz], axis=-1)
             if self.with_voxel_center:
                 feats.append(ctr)
-            if self.with_voxel_offset:
-                feats.append(points_xyz[:, :2] - ctr)
-        if self.with_count:
+            if self.with_voxel_center_offset:
+                feats.append(points_xyz - ctr)
+        if self.with_voxel_point_count:
             cnt = scatter.mapback(
                 scatter.voxel_counts[:, None].astype(points_xyz.dtype))
             feats.append(cnt)
@@ -247,11 +268,19 @@ class DynamicPillarFeatureNet(nn.Module):
     Per-point dense+BN+ReLU stack; after each layer, voxel max features are
     mapped back and concatenated (multi-layer variant, :218-226); final
     features reduced per pillar with the configured op.
+
+    Feature layout matches the reference (:215-217): ``[stats(xyz),
+    points[:, 3:]]`` with the reference's stats toggle defaults (cluster
+    offset + voxel-center offset on, the rest off).
     """
     in_channels: int = 4
     feat_channels: Sequence[int] = (64,)
-    with_distance: bool = False
+    with_cluster_center: bool = False
+    with_cluster_center_offset: bool = True
     with_covariance: bool = False
+    with_voxel_center: bool = False
+    with_voxel_point_count: bool = False
+    with_voxel_center_offset: bool = True
     reduce_op: str = 'max'
     voxel_size: Sequence[float] = (0.16, 0.16, 4.0)
     point_cloud_range: Sequence[float] = (0., -39.68, -3., 69.12, 39.68, 1.)
@@ -263,13 +292,15 @@ class DynamicPillarFeatureNet(nn.Module):
         stats = PointVoxelStatsCalculator(
             voxel_size=self.voxel_size,
             point_cloud_range=self.point_cloud_range,
+            with_cluster_center=self.with_cluster_center,
+            with_cluster_center_offset=self.with_cluster_center_offset,
             with_covariance=self.with_covariance,
+            with_voxel_center=self.with_voxel_center,
+            with_voxel_point_count=self.with_voxel_point_count,
+            with_voxel_center_offset=self.with_voxel_center_offset,
             name='stats')
-        x = jnp.concatenate([points, stats(points[:, :3], scatter)], axis=-1)
-        if self.with_distance:
-            x = jnp.concatenate(
-                [x, jnp.linalg.norm(points[:, :3], axis=-1, keepdims=True)],
-                axis=-1)
+        x = jnp.concatenate([stats(points[:, :3], scatter), points[:, 3:]],
+                            axis=-1)
         valid = scatter.valid_point_mask
         x = x * valid[:, None].astype(x.dtype)
         for i, ch in enumerate(self.feat_channels):

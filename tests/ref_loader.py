@@ -1,0 +1,287 @@
+"""Load REFERENCE torch modules from /root/reference with mm* stubbed.
+
+The reference files import mmcv/mmdet/mmdet3d, which are not installed.  We
+register stub modules providing exactly the symbols those files touch (the
+upstream pieces come from tests/torch_oracles.py), then exec the reference
+source files inside a fake package so their relative imports resolve.
+
+Used by tests/test_reference_parity_model.py to run the reference's
+``PillarFeatureNet`` / ``DynamicPillarFeatureNet`` / ``PointVoxelStatsCalculator``
+(``models/voxel_encoders/{pillar_encoder,utils}.py``) and
+``GDAnchor3DHead.loss_single`` (``models/dense_heads/gd_anchor3d_head.py``)
+on CPU against our JAX implementations with transplanted weights.
+"""
+import contextlib
+import functools
+import importlib.util
+import sys
+import types
+
+import torch
+from torch import nn
+
+from . import torch_oracles as oracles
+
+REF_ROOT = '/root/reference/mmdet3d_gaussian'
+
+
+class _NoopRegistry:
+    @staticmethod
+    def register_module(*a, **k):
+        def deco(cls):
+            return cls
+        if a and isinstance(a[0], type):   # bare @register_module usage
+            return a[0]
+        return deco
+
+
+def _noop_decorator_factory(*a, **k):
+    """mmcv.runner.force_fp32 / auto_fp16 (decorator factories)."""
+    def deco(fn):
+        @functools.wraps(fn)
+        def wrapper(*args, **kwargs):
+            return fn(*args, **kwargs)
+        return wrapper
+    return deco
+
+
+class TorchScatter:
+    """CPU torch oracle of the reference ``Scatter``
+    (``ops/voxel/scatter.py:75-144``): per-sample ``unique_dim`` dedup with
+    the invalid (-1) row stripped, reduce/mapback/reduce_mapback.
+
+    Row order note: the CUDA ``at::unique_dim`` used by the reference does
+    not document order; we use sorted unique per sample, batch-major — the
+    same compact order our JAX ``build_scatter`` produces, so voxel rows
+    align for parity comparisons.
+    """
+
+    def __init__(self, coors):
+        self.pts_coors = coors
+        n = coors.size(0)
+        if coors.size(-1) == 3:
+            batch = torch.zeros(n, dtype=torch.long)
+            sp = coors
+        else:
+            batch = coors[:, 0].long()
+            sp = coors[:, 1:]
+        invalid = (sp < 0).any(dim=-1)
+        key = torch.cat([batch.view(-1, 1), sp.long()], dim=-1)
+        # push invalid rows to a sentinel so unique keeps them out
+        uniq, inverse = torch.unique(key[~invalid], dim=0,
+                                     return_inverse=True)
+        maps = torch.full((n,), -1, dtype=torch.long)
+        maps[~invalid] = inverse
+        counts = torch.zeros(uniq.size(0), dtype=torch.long)
+        counts.scatter_add_(0, inverse, torch.ones_like(inverse))
+        if coors.size(-1) == 3:
+            self.voxel_coors = uniq[:, 1:].to(coors.dtype)
+        else:
+            self.voxel_coors = uniq.to(coors.dtype)
+        self.pts_voxel_maps = maps
+        self.voxel_pts_counts = counts
+
+    def mapback(self, voxel_feats, default_feat=0):
+        invalid = self.pts_voxel_maps.lt(0)
+        out = voxel_feats[self.pts_voxel_maps.clamp(min=0)]
+        out = torch.where(invalid.view(-1, *([1] * (out.dim() - 1))),
+                          torch.as_tensor(default_feat,
+                                          dtype=out.dtype), out)
+        return out
+
+    def reduce(self, pts_feats, reduce_op):
+        m = self.voxel_coors.size(0)
+        c = pts_feats.size(-1)
+        maps = self.pts_voxel_maps
+        valid = maps.ge(0)
+        if reduce_op in ('sum', 'mean'):
+            out = torch.zeros(m, c, dtype=pts_feats.dtype)
+            out.index_add_(0, maps[valid], pts_feats[valid])
+            if reduce_op == 'mean':
+                out = out / self.voxel_pts_counts.clamp(
+                    min=1).view(-1, 1).type_as(out)
+        elif reduce_op == 'max':
+            out = torch.full((m, c), torch.finfo(pts_feats.dtype).min,
+                             dtype=pts_feats.dtype)
+            out = out.scatter_reduce(
+                0, maps[valid].view(-1, 1).expand(-1, c),
+                pts_feats[valid], reduce='amax', include_self=True)
+            out = torch.where(self.voxel_pts_counts.view(-1, 1) > 0, out,
+                              torch.zeros_like(out))
+        else:
+            raise ValueError(reduce_op)
+        return out, self.voxel_coors
+
+    def reduce_mapback(self, pts_feats, reduce_op, default_feat=0):
+        voxel_feats, _ = self.reduce(pts_feats, reduce_op)
+        return self.mapback(voxel_feats, default_feat)
+
+
+@contextlib.contextmanager
+def _stubbed(stubs):
+    saved = {k: sys.modules.get(k) for k in stubs}
+    sys.modules.update(stubs)
+    try:
+        yield
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                sys.modules.pop(k, None)
+            else:
+                sys.modules[k] = v
+
+
+def _mod(name, **attrs):
+    m = types.ModuleType(name)
+    for k, v in attrs.items():
+        setattr(m, k, v)
+    return m
+
+
+def _load_as(pkg_file, mod_name):
+    spec = importlib.util.spec_from_file_location(mod_name, pkg_file)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[mod_name] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def load_pillar_encoders():
+    """Load the reference ``models/voxel_encoders/{utils,pillar_encoder}.py``.
+
+    Returns the pillar_encoder module (with PillarFeatureNet /
+    DynamicPillarFeatureNet) and the utils module (with
+    PointVoxelStatsCalculator).
+    """
+    mm_utils = _mod('mmdet3d.models.voxel_encoders.utils',
+                    PFNLayer=oracles.PFNLayer,
+                    get_paddings_indicator=oracles.get_paddings_indicator,
+                    __all__=['PFNLayer', 'get_paddings_indicator'])
+    stubs = {
+        'mmcv': _mod('mmcv'),
+        'mmcv.cnn': _mod('mmcv.cnn',
+                         build_norm_layer=oracles.build_norm_layer),
+        'mmcv.runner': _mod('mmcv.runner',
+                            force_fp32=_noop_decorator_factory,
+                            auto_fp16=_noop_decorator_factory),
+        'mmdet3d': _mod('mmdet3d'),
+        'mmdet3d.models': _mod('mmdet3d.models'),
+        'mmdet3d.models.builder': _mod('mmdet3d.models.builder',
+                                       VOXEL_ENCODERS=_NoopRegistry()),
+        'mmdet3d.models.voxel_encoders': _mod(
+            'mmdet3d.models.voxel_encoders'),
+        'mmdet3d.models.voxel_encoders.utils': mm_utils,
+    }
+    # fake package mirroring mmdet3d_gaussian's tree for relative imports
+    pkg = _mod('refpkg')
+    pkg.__path__ = []
+    ops = _mod('refpkg.ops', Scatter=TorchScatter)
+    models = _mod('refpkg.models')
+    models.__path__ = []
+    enc = _mod('refpkg.models.voxel_encoders')
+    enc.__path__ = []
+    stubs.update({'refpkg': pkg, 'refpkg.ops': ops,
+                  'refpkg.models': models,
+                  'refpkg.models.voxel_encoders': enc})
+    with _stubbed(stubs):
+        utils = _load_as(f'{REF_ROOT}/models/voxel_encoders/utils.py',
+                         'refpkg.models.voxel_encoders.utils')
+        penc = _load_as(f'{REF_ROOT}/models/voxel_encoders/pillar_encoder.py',
+                        'refpkg.models.voxel_encoders.pillar_encoder')
+    return penc, utils
+
+
+def load_gd_loss():
+    """Load the reference ``gaussian_distance_loss.py`` (GDLoss etc.)."""
+    stubs = {
+        'mmdet': _mod('mmdet'),
+        'mmdet.models': _mod('mmdet.models'),
+        'mmdet.models.builder': _mod('mmdet.models.builder',
+                                     LOSSES=_NoopRegistry()),
+        'mmdet.models.losses': _mod('mmdet.models.losses'),
+        'mmdet.models.losses.utils': _mod(
+            'mmdet.models.losses.utils',
+            weighted_loss=_weighted_loss),
+    }
+    with _stubbed(stubs):
+        return _load_as(
+            f'{REF_ROOT}/models/losses/gaussian_distance_loss.py',
+            'ref_gd_loss_model')
+
+
+def _weighted_loss(fn):
+    @functools.wraps(fn)
+    def wrapper(pred, target, weight=None, reduction='mean',
+                avg_factor=None, **kwargs):
+        loss = fn(pred, target, **kwargs)
+        return oracles.weight_reduce_loss(loss, weight, reduction,
+                                          avg_factor)
+    return wrapper
+
+
+def load_gd_anchor3d_head(gd_loss_mod):
+    """Load the reference ``gd_anchor3d_head.py``.
+
+    The upstream ``Anchor3DHead`` base is stubbed with just the pieces
+    ``loss_single`` touches (``add_sin_difference``); losses are built by
+    the torch oracles (FocalLoss/SmoothL1/CE) or the reference's own GDLoss.
+    Instantiate via :func:`make_ref_head` — do not call ``__init__``.
+    """
+
+    class _Anchor3DHeadStub(nn.Module):
+        add_sin_difference = staticmethod(oracles.add_sin_difference)
+
+        def __init__(self, **kwargs):
+            super().__init__()
+            for k, v in kwargs.items():
+                setattr(self, k, v)
+
+    def build_loss(cfg):
+        return oracles.build_loss_oracle(cfg, gd_loss_cls=gd_loss_mod.GDLoss)
+
+    stubs = {
+        'mmcv': _mod('mmcv'),
+        'mmcv.runner': _mod('mmcv.runner',
+                            force_fp32=_noop_decorator_factory),
+        'mmdet': _mod('mmdet'),
+        'mmdet.models': _mod('mmdet.models', HEADS=_NoopRegistry()),
+        'mmdet.core': _mod('mmdet.core', multi_apply=None),
+        'mmdet3d': _mod('mmdet3d'),
+        'mmdet3d.models': _mod('mmdet3d.models'),
+        'mmdet3d.models.dense_heads': _mod(
+            'mmdet3d.models.dense_heads', Anchor3DHead=_Anchor3DHeadStub),
+        'mmdet3d.models.builder': _mod('mmdet3d.models.builder',
+                                       build_loss=build_loss),
+    }
+    with _stubbed(stubs):
+        return _load_as(f'{REF_ROOT}/models/dense_heads/gd_anchor3d_head.py',
+                        'ref_gd_anchor3d_head')
+
+
+def make_ref_head(head_mod, gd_loss_mod, num_classes=3,
+                  loss_decoded_bbox=None, code_weight=None,
+                  decode_weight=1.0, diff_rad_by_sin=True):
+    """Build a reference GDAnchor3DHead ready for ``loss_single`` without
+    running the full (upstream-dependent) __init__."""
+    head = object.__new__(head_mod.GDAnchor3DHead)
+    nn.Module.__init__(head)
+    head.num_classes = num_classes
+    head.box_code_size = 7
+    head.use_direction_classifier = True
+    head.diff_rad_by_sin = diff_rad_by_sin
+    head.bbox_coder = oracles.TorchDeltaXYZWLHRBBoxCoder()
+    head.loss_cls = oracles.TorchFocalLoss(use_sigmoid=True, gamma=2.0,
+                                           alpha=0.25, loss_weight=1.0)
+    head.loss_bbox = oracles.TorchSmoothL1Loss(beta=1.0 / 9.0,
+                                               loss_weight=2.0)
+    if loss_decoded_bbox is None:
+        loss_decoded_bbox = dict(type='GDLoss', loss_type='kld3d',
+                                 center_offset=(0, 0, 0.5), fun='log1p',
+                                 tau=1.0, alpha=1.0, loss_weight=5.0)
+    head.loss_decoded_bbox = oracles.build_loss_oracle(
+        loss_decoded_bbox, gd_loss_cls=gd_loss_mod.GDLoss)
+    head.loss_dir = oracles.TorchCrossEntropyLoss(loss_weight=0.2)
+    head.train_cfg = dict(code_weight=code_weight,
+                          decode_weight=decode_weight)
+    head.add_sin_difference = oracles.add_sin_difference
+    return head

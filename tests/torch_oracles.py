@@ -1,0 +1,281 @@
+"""Torch oracles of the UPSTREAM mmdet/mmdet3d pieces the reference builds on.
+
+The reference package (``/root/reference/mmdet3d_gaussian``) layers deltas on
+top of mmcv/mmdet/mmdet3d, which are not installed here.  To run the
+reference's own files on CPU (tests/test_reference_parity_model.py) we supply
+faithful torch transcriptions of exactly the upstream symbols those files
+import: ``PFNLayer``/``get_paddings_indicator``
+(mmdet3d.models.voxel_encoders.utils), the SECOND backbone and SECONDFPN neck
+(mmdet3d.models.backbones/necks), ``DeltaXYZWLHRBBoxCoder``
+(mmdet3d.core.bbox), the mmdet losses (FocalLoss, SmoothL1Loss,
+CrossEntropyLoss), and ``Anchor3DHead.add_sin_difference``.
+
+These transcriptions follow the public upstream semantics cited in SURVEY.md
+(BN1d eps=1e-3/momentum=0.01, unmasked max over padded pillar rows, xy deltas
+normalized by the anchor BEV diagonal, ...) — they are test fixtures, not
+product code.
+"""
+import torch
+import torch.nn.functional as F
+from torch import nn
+
+
+# ---------------------------------------------------------------- reduction
+def weight_reduce_loss(loss, weight=None, reduction='mean', avg_factor=None):
+    """mmdet.models.losses.utils semantics."""
+    if weight is not None:
+        loss = loss * weight
+    if avg_factor is None:
+        if reduction == 'mean':
+            return loss.mean()
+        if reduction == 'sum':
+            return loss.sum()
+        return loss
+    if reduction == 'mean':
+        return loss.sum() / avg_factor
+    if reduction == 'none':
+        return loss
+    raise ValueError('avg_factor + sum unsupported')
+
+
+# ------------------------------------------------------------------- losses
+class TorchFocalLoss(nn.Module):
+    """mmdet FocalLoss (py_sigmoid_focal_loss path), use_sigmoid=True."""
+
+    def __init__(self, use_sigmoid=True, gamma=2.0, alpha=0.25,
+                 reduction='mean', loss_weight=1.0):
+        super().__init__()
+        assert use_sigmoid
+        self.gamma, self.alpha = gamma, alpha
+        self.reduction, self.loss_weight = reduction, loss_weight
+
+    def forward(self, pred, target, weight=None, avg_factor=None):
+        num_classes = pred.size(1)
+        tgt = F.one_hot(target.long(), num_classes + 1)[:, :num_classes]
+        tgt = tgt.type_as(pred)
+        p = pred.sigmoid()
+        pt = (1 - p) * tgt + p * (1 - tgt)
+        focal_w = (self.alpha * tgt + (1 - self.alpha) * (1 - tgt)) \
+            * pt.pow(self.gamma)
+        loss = F.binary_cross_entropy_with_logits(
+            pred, tgt, reduction='none') * focal_w
+        if weight is not None and weight.dim() == 1:
+            weight = weight.view(-1, 1)
+        return self.loss_weight * weight_reduce_loss(
+            loss, weight, self.reduction, avg_factor)
+
+
+class TorchSmoothL1Loss(nn.Module):
+    def __init__(self, beta=1.0, reduction='mean', loss_weight=1.0):
+        super().__init__()
+        self.beta, self.reduction, self.loss_weight = beta, reduction, \
+            loss_weight
+
+    def forward(self, pred, target, weight=None, avg_factor=None):
+        diff = (pred - target).abs()
+        loss = torch.where(diff < self.beta,
+                           0.5 * diff * diff / self.beta,
+                           diff - 0.5 * self.beta)
+        return self.loss_weight * weight_reduce_loss(
+            loss, weight, self.reduction, avg_factor)
+
+
+class TorchCrossEntropyLoss(nn.Module):
+    def __init__(self, use_sigmoid=False, reduction='mean', loss_weight=1.0):
+        super().__init__()
+        assert not use_sigmoid
+        self.reduction, self.loss_weight = reduction, loss_weight
+
+    def forward(self, pred, target, weight=None, avg_factor=None):
+        loss = F.cross_entropy(pred, target.long(), reduction='none')
+        return self.loss_weight * weight_reduce_loss(
+            loss, weight, self.reduction, avg_factor)
+
+
+def build_loss_oracle(cfg, gd_loss_cls=None):
+    """mmdet3d.models.builder.build_loss stand-in for the parity tests."""
+    cfg = dict(cfg)
+    t = cfg.pop('type')
+    if t == 'FocalLoss':
+        return TorchFocalLoss(**cfg)
+    if t == 'SmoothL1Loss':
+        return TorchSmoothL1Loss(**cfg)
+    if t == 'CrossEntropyLoss':
+        return TorchCrossEntropyLoss(**cfg)
+    if t == 'GDLoss':
+        assert gd_loss_cls is not None, 'pass the reference GDLoss class'
+        return gd_loss_cls(**cfg)
+    raise KeyError(t)
+
+
+# -------------------------------------------------------------------- coder
+class TorchDeltaXYZWLHRBBoxCoder:
+    """mmdet3d DeltaXYZWLHRBBoxCoder (decode used at
+    reference gd_anchor3d_head.py:133-136)."""
+
+    @staticmethod
+    def encode(anchors, gt):
+        xa, ya, za, wa, la, ha, ra = torch.split(anchors, 1, dim=-1)
+        xg, yg, zg, wg, lg, hg, rg = torch.split(gt, 1, dim=-1)
+        za = za + ha / 2
+        zg = zg + hg / 2
+        diag = torch.sqrt(la ** 2 + wa ** 2)
+        xt = (xg - xa) / diag
+        yt = (yg - ya) / diag
+        zt = (zg - za) / ha
+        lt = torch.log(lg / la)
+        wt = torch.log(wg / wa)
+        ht = torch.log(hg / ha)
+        rt = rg - ra
+        return torch.cat([xt, yt, zt, wt, lt, ht, rt], dim=-1)
+
+    @staticmethod
+    def decode(anchors, deltas):
+        xa, ya, za, wa, la, ha, ra = torch.split(anchors, 1, dim=-1)
+        xt, yt, zt, wt, lt, ht, rt = torch.split(deltas, 1, dim=-1)
+        za = za + ha / 2
+        diag = torch.sqrt(la ** 2 + wa ** 2)
+        xg = xt * diag + xa
+        yg = yt * diag + ya
+        zg = zt * ha + za
+        lg = torch.exp(lt) * la
+        wg = torch.exp(wt) * wa
+        hg = torch.exp(ht) * ha
+        rg = rt + ra
+        zg = zg - hg / 2
+        return torch.cat([xg, yg, zg, wg, lg, hg, rg], dim=-1)
+
+
+def add_sin_difference(boxes1, boxes2):
+    """mmdet3d Anchor3DHead.add_sin_difference."""
+    rad_pred = torch.sin(boxes1[..., 6:7]) * torch.cos(boxes2[..., 6:7])
+    rad_tg = torch.cos(boxes1[..., 6:7]) * torch.sin(boxes2[..., 6:7])
+    boxes1 = torch.cat([boxes1[..., :6], rad_pred, boxes1[..., 7:]], dim=-1)
+    boxes2 = torch.cat([boxes2[..., :6], rad_tg, boxes2[..., 7:]], dim=-1)
+    return boxes1, boxes2
+
+
+# ------------------------------------------------------- pillar encoder bits
+def get_paddings_indicator(actual_num, max_num, axis=0):
+    """mmdet3d.models.voxel_encoders.utils.get_paddings_indicator."""
+    actual_num = torch.unsqueeze(actual_num, axis + 1)
+    max_num_shape = [1] * len(actual_num.shape)
+    max_num_shape[axis + 1] = -1
+    max_num = torch.arange(
+        max_num, dtype=torch.int, device=actual_num.device).view(
+        max_num_shape)
+    return actual_num.int() > max_num
+
+
+class PFNLayer(nn.Module):
+    """mmdet3d PFNLayer: Linear(no bias) -> BN1d -> ReLU -> max over points.
+
+    The max runs over ALL rows including zero-padded ones (the upstream
+    quirk the reference inherits)."""
+
+    def __init__(self, in_channels, out_channels,
+                 norm_cfg=dict(type='BN1d', eps=1e-3, momentum=0.01),
+                 last_layer=False, mode='max'):
+        super().__init__()
+        self.last_vfe = last_layer
+        if not self.last_vfe:
+            out_channels = out_channels // 2
+        self.units = out_channels
+        self.norm = nn.BatchNorm1d(self.units,
+                                   eps=norm_cfg.get('eps', 1e-3),
+                                   momentum=norm_cfg.get('momentum', 0.01))
+        self.linear = nn.Linear(in_channels, self.units, bias=False)
+        assert mode in ('max', 'avg')
+        self.mode = mode
+
+    def forward(self, inputs, num_voxels=None, aligned_distance=None):
+        x = self.linear(inputs)
+        x = self.norm(x.permute(0, 2, 1).contiguous()).permute(
+            0, 2, 1).contiguous()
+        x = F.relu(x)
+        if self.mode == 'max':
+            if aligned_distance is not None:
+                x = x.mul(aligned_distance.unsqueeze(-1))
+            x_max = torch.max(x, dim=1, keepdim=True)[0]
+        else:
+            if aligned_distance is not None:
+                x = x.mul(aligned_distance.unsqueeze(-1))
+            x_max = x.sum(dim=1, keepdim=True) / num_voxels.type_as(
+                inputs).view(-1, 1, 1)
+        if self.last_vfe:
+            return x_max
+        x_repeat = x_max.repeat(1, inputs.shape[1], 1)
+        return torch.cat([x, x_repeat], dim=2)
+
+
+def build_norm_layer(norm_cfg, num_features):
+    """mmcv.cnn.build_norm_layer stand-in for BN1d/BN2d configs."""
+    t = norm_cfg.get('type', 'BN1d')
+    eps = norm_cfg.get('eps', 1e-5)
+    momentum = norm_cfg.get('momentum', 0.1)
+    if t in ('BN1d', 'naiveSyncBN1d', 'SyncBN'):
+        return 'bn', nn.BatchNorm1d(num_features, eps=eps, momentum=momentum)
+    if t in ('BN', 'BN2d', 'naiveSyncBN2d'):
+        return 'bn', nn.BatchNorm2d(num_features, eps=eps, momentum=momentum)
+    raise KeyError(t)
+
+
+# -------------------------------------------------------- SECOND / SECONDFPN
+class TorchSECOND(nn.Module):
+    """mmdet3d SECOND backbone (configs hv_pointpillars_secfpn_kitti.py:22-27):
+    per stage one strided 3x3 ConvBNReLU then layer_nums[i] 3x3 ConvBNReLU."""
+
+    def __init__(self, in_channels=64, out_channels=(64, 128, 256),
+                 layer_nums=(3, 5, 5), layer_strides=(2, 2, 2),
+                 norm_eps=1e-3, norm_momentum=0.01):
+        super().__init__()
+        blocks = []
+        c_in = in_channels
+        for ch, num, stride in zip(out_channels, layer_nums, layer_strides):
+            layers = [nn.Conv2d(c_in, ch, 3, stride=stride, padding=1,
+                                bias=False),
+                      nn.BatchNorm2d(ch, eps=norm_eps,
+                                     momentum=norm_momentum),
+                      nn.ReLU(inplace=True)]
+            for _ in range(num):
+                layers += [nn.Conv2d(ch, ch, 3, padding=1, bias=False),
+                           nn.BatchNorm2d(ch, eps=norm_eps,
+                                          momentum=norm_momentum),
+                           nn.ReLU(inplace=True)]
+            blocks.append(nn.Sequential(*layers))
+            c_in = ch
+        self.blocks = nn.ModuleList(blocks)
+
+    def forward(self, x):
+        outs = []
+        for b in self.blocks:
+            x = b(x)
+            outs.append(x)
+        return outs
+
+
+class TorchSECONDFPN(nn.Module):
+    """mmdet3d SECONDFPN: per level ConvTranspose2d(stride=k) (or stride-1
+    conv) + BN + ReLU, concat on channels."""
+
+    def __init__(self, in_channels=(64, 128, 256),
+                 out_channels=(128, 128, 128), upsample_strides=(1, 2, 4),
+                 norm_eps=1e-3, norm_momentum=0.01):
+        super().__init__()
+        deblocks = []
+        for c_in, c_out, s in zip(in_channels, out_channels,
+                                  upsample_strides):
+            if s > 1:
+                conv = nn.ConvTranspose2d(c_in, c_out, s, stride=s,
+                                          bias=False)
+            else:
+                k = max(1, int(round(1 / s)))
+                conv = nn.Conv2d(c_in, c_out, k, stride=k, bias=False)
+            deblocks.append(nn.Sequential(
+                conv,
+                nn.BatchNorm2d(c_out, eps=norm_eps, momentum=norm_momentum),
+                nn.ReLU(inplace=True)))
+        self.deblocks = nn.ModuleList(deblocks)
+
+    def forward(self, feats):
+        return torch.cat([d(f) for d, f in zip(self.deblocks, feats)], dim=1)
