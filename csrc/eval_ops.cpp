@@ -164,4 +164,159 @@ void match_coco(const float *cost, int64_t nd, int64_t ng, const float *thrs,
   delete[] gt_matched;
 }
 
+// ---------------------------------------------------------------------------
+// Official KITTI protocol kernels (upstream mmdet3d/second.pytorch
+// `kitti_eval` semantics, which the reference inherits through
+// `KittiDataset.evaluate` — /root/reference/mmdet3d_gaussian/datasets/
+// kitti_dataset.py subclasses mmdet3d's KittiDataset).
+// ---------------------------------------------------------------------------
+
+// Rotated 2D overlap on 5-dof boxes (cx, cy, w, h, yaw).
+// criterion: -1 -> IoU, 0 -> inter / area(box1), 2 -> raw intersection area.
+void riou5(const float *b1, int64_t n1, const float *b2, int64_t n2,
+           int32_t criterion, float *out) {
+  for (int64_t i = 0; i < n1; i++) {
+    const float *a = b1 + i * 5;
+    double aa = (double)a[2] * a[3];
+    for (int64_t j = 0; j < n2; j++) {
+      const float *b = b2 + j * 5;
+      double ba = (double)b[2] * b[3];
+      double inter = intersection_area(a, b);
+      inter = std::min(inter, std::min(aa, ba));
+      double v;
+      if (criterion == -1)
+        v = inter / std::max(aa + ba - inter, 1e-7);
+      else if (criterion == 0)
+        v = inter / std::max(aa, 1e-7);
+      else
+        v = inter;
+      out[i * n2 + j] = (float)v;
+    }
+  }
+}
+
+namespace {
+
+constexpr double kNoDetection = -1e7;
+
+// One pass of the official compute_statistics loop.  overlaps is (D, G)
+// row-major ([det, gt], larger-better).  When compute_fp is false the pass
+// only collects TP detection scores (out_scores, returns count via *n_tp);
+// when true it returns tp/fp/fn counts.
+inline void kitti_stats_one(const float *overlaps, const float *scores,
+                            const int8_t *ig_det, int64_t nd,
+                            const int8_t *ig_gt, int64_t ng,
+                            const float *dc_overlap, int64_t ndc,
+                            double min_overlap, double thresh,
+                            bool compute_fp, bool *assigned,
+                            int64_t *tp, int64_t *fp, int64_t *fn,
+                            float *out_scores, int64_t *n_tp) {
+  int64_t _tp = 0, _fp = 0, _fn = 0, nsc = 0;
+  std::memset(assigned, 0, nd * sizeof(bool));
+  for (int64_t i = 0; i < ng; i++) {
+    if (ig_gt[i] == -1)
+      continue;
+    int64_t det_idx = -1;
+    double valid_detection = kNoDetection;
+    double max_overlap = 0.0;
+    bool assigned_ignored_det = false;
+    for (int64_t j = 0; j < nd; j++) {
+      if (ig_det[j] == -1 || assigned[j])
+        continue;
+      if (compute_fp && scores[j] < thresh)
+        continue;
+      double ov = overlaps[j * ng + i];
+      if (!compute_fp && ov > min_overlap && scores[j] > valid_detection) {
+        det_idx = j;
+        valid_detection = scores[j];
+      } else if (compute_fp && ov > min_overlap &&
+                 (ov > max_overlap || assigned_ignored_det) &&
+                 ig_det[j] == 0) {
+        max_overlap = ov;
+        det_idx = j;
+        valid_detection = 1.0;
+        assigned_ignored_det = false;
+      } else if (compute_fp && ov > min_overlap &&
+                 valid_detection == kNoDetection && ig_det[j] == 1) {
+        det_idx = j;
+        valid_detection = 1.0;
+        assigned_ignored_det = true;
+      }
+    }
+    if (valid_detection == kNoDetection && ig_gt[i] == 0) {
+      _fn++;
+    } else if (valid_detection != kNoDetection &&
+               (ig_gt[i] == 1 || ig_det[det_idx] == 1)) {
+      assigned[det_idx] = true;
+    } else if (valid_detection != kNoDetection) {
+      _tp++;
+      if (out_scores)
+        out_scores[nsc++] = scores[det_idx];
+      assigned[det_idx] = true;
+    }
+  }
+  if (compute_fp) {
+    for (int64_t j = 0; j < nd; j++) {
+      if (!(assigned[j] || ig_det[j] == -1 || ig_det[j] == 1 ||
+            scores[j] < thresh))
+        _fp++;
+    }
+    // DontCare absorption (metric 0 only: caller passes ndc == 0 otherwise).
+    int64_t nstuff = 0;
+    for (int64_t i = 0; i < ndc; i++) {
+      for (int64_t j = 0; j < nd; j++) {
+        if (assigned[j] || ig_det[j] == -1 || ig_det[j] == 1 ||
+            scores[j] < thresh)
+          continue;
+        if (dc_overlap[j * ndc + i] > min_overlap) {
+          assigned[j] = true;
+          nstuff++;
+        }
+      }
+    }
+    _fp -= nstuff;
+  }
+  if (tp) *tp = _tp;
+  if (fp) *fp = _fp;
+  if (fn) *fn = _fn;
+  if (n_tp) *n_tp = nsc;
+}
+
+} // namespace
+
+// TP-score collection pass (compute_fp = false, thresh = 0); returns the
+// number of scores written to out_scores (capacity must be >= ng).
+int64_t kitti_tp_scores(const float *overlaps, const float *scores,
+                        const int8_t *ig_det, int64_t nd,
+                        const int8_t *ig_gt, int64_t ng, float min_overlap,
+                        float *out_scores) {
+  int64_t n_tp = 0;
+  bool *assigned = new bool[nd > 0 ? nd : 1];
+  kitti_stats_one(overlaps, scores, ig_det, nd, ig_gt, ng, nullptr, 0,
+                  min_overlap, 0.0, false, assigned, nullptr, nullptr,
+                  nullptr, out_scores, &n_tp);
+  delete[] assigned;
+  return n_tp;
+}
+
+// Full statistics across score thresholds: out (T, 3) int32 rows of
+// (tp, fp, fn) — one compute_fp pass per threshold.
+void kitti_stats(const float *overlaps, const float *scores,
+                 const int8_t *ig_det, int64_t nd, const int8_t *ig_gt,
+                 int64_t ng, const float *dc_overlap, int64_t ndc,
+                 float min_overlap, const float *thresholds, int64_t nt,
+                 int32_t *out) {
+  bool *assigned = new bool[nd > 0 ? nd : 1];
+  for (int64_t t = 0; t < nt; t++) {
+    int64_t tp = 0, fp = 0, fn = 0;
+    kitti_stats_one(overlaps, scores, ig_det, nd, ig_gt, ng, dc_overlap, ndc,
+                    min_overlap, thresholds[t], true, assigned, &tp, &fp, &fn,
+                    nullptr, nullptr);
+    out[t * 3 + 0] = (int32_t)tp;
+    out[t * 3 + 1] = (int32_t)fp;
+    out[t * 3 + 2] = (int32_t)fn;
+  }
+  delete[] assigned;
+}
+
 } // extern "C"

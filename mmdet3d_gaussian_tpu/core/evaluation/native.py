@@ -34,6 +34,15 @@ def _load():
                            ctypes.c_float, f32p]
     lib.match_coco.argtypes = [f32p, ctypes.c_int64, ctypes.c_int64, f32p,
                                ctypes.c_int64, u8p, u8p, i32p]
+    i8p = np.ctypeslib.ndpointer(np.int8, flags='C_CONTIGUOUS')
+    lib.riou5.argtypes = [f32p, ctypes.c_int64, f32p, ctypes.c_int64,
+                          ctypes.c_int32, f32p]
+    lib.kitti_tp_scores.restype = ctypes.c_int64
+    lib.kitti_tp_scores.argtypes = [f32p, f32p, i8p, ctypes.c_int64, i8p,
+                                    ctypes.c_int64, ctypes.c_float, f32p]
+    lib.kitti_stats.argtypes = [f32p, f32p, i8p, ctypes.c_int64, i8p,
+                                ctypes.c_int64, f32p, ctypes.c_int64,
+                                ctypes.c_float, f32p, ctypes.c_int64, i32p]
     _lib = lib
     return lib
 

@@ -109,14 +109,111 @@ class KittiDataset:
         return self.pipeline(results)
 
     # -- evaluation -----------------------------------------------------
+    @staticmethod
+    def lidar_det_to_kitti_anno(det: Sequence[np.ndarray], calib: Dict,
+                                image_shape=(375, 1242),
+                                classes: Sequence[str] = CLASSES) -> Dict:
+        """Per-class LiDAR detections -> official KITTI dt anno dict.
+
+        det: per-class list of (N, 8) [x, y, z, dx, dy, dz, yaw, score]
+        bottom-centered LiDAR boxes.  Mirrors mmdet3d's
+        ``KittiDataset.bbox2result_kitti`` (which the reference inherits):
+        LiDAR -> rect-camera frame, 8-corner projection through P2 for the
+        2D bbox, alpha from viewing angle, drop boxes behind the camera or
+        fully outside the image.
+        """
+        rect = np.asarray(calib['R0_rect'], np.float64)
+        trv2c = np.asarray(calib['Tr_velo_to_cam'], np.float64)
+        p2 = np.asarray(calib['P2'], np.float64)
+        tf = rect @ trv2c
+        h_img, w_img = int(image_shape[0]), int(image_shape[1])
+
+        names, trunc, occ, alphas, bboxes = [], [], [], [], []
+        dims_out, locs, rys, scores = [], [], [], []
+        for cls_id, cls_det in enumerate(det):
+            cls_det = np.asarray(cls_det, np.float32).reshape(-1, 8)
+            for row in cls_det:
+                x, y, z, dx, dy, dz, yaw, score = [float(v) for v in row]
+                loc_cam = tf @ np.array([x, y, z, 1.0])
+                cx, cy, cz = loc_cam[:3]
+                if cz <= 0:
+                    continue
+                l, w, h = dx, dy, dz
+                ry = -yaw - np.pi / 2
+                # canonical [-pi, pi)
+                ry = (ry + np.pi) % (2 * np.pi) - np.pi
+                # 8 corners: bottom at cy, top at cy - h (camera y down)
+                xc = np.array([l, l, -l, -l, l, l, -l, -l]) / 2
+                zc = np.array([w, -w, -w, w, w, -w, -w, w]) / 2
+                yc = np.array([0., 0., 0., 0., -h, -h, -h, -h])
+                c, s = np.cos(ry), np.sin(ry)
+                cx8 = cx + c * xc + s * zc
+                cz8 = cz - s * xc + c * zc
+                cy8 = cy + yc
+                pts = np.stack([cx8, cy8, cz8, np.ones(8)], 0)
+                uvw = p2 @ pts
+                uv = uvw[:2] / np.maximum(uvw[2:3], 1e-6)
+                x1, y1 = uv[0].min(), uv[1].min()
+                x2, y2 = uv[0].max(), uv[1].max()
+                if x1 >= w_img or y1 >= h_img or x2 <= 0 or y2 <= 0:
+                    continue
+                bbox = [max(x1, 0.0), max(y1, 0.0),
+                        min(x2, float(w_img)), min(y2, float(h_img))]
+                names.append(classes[cls_id])
+                trunc.append(0.0)
+                occ.append(0)
+                alphas.append(ry - np.arctan2(cx, cz))
+                bboxes.append(bbox)
+                dims_out.append([l, h, w])
+                locs.append([cx, cy, cz])
+                rys.append(ry)
+                scores.append(score)
+        n = len(names)
+        return dict(
+            name=np.asarray(names),
+            truncated=np.asarray(trunc, np.float32),
+            occluded=np.asarray(occ, np.int32),
+            alpha=np.asarray(alphas, np.float32),
+            bbox=np.asarray(bboxes, np.float32).reshape(n, 4),
+            dimensions=np.asarray(dims_out, np.float32).reshape(n, 3),
+            location=np.asarray(locs, np.float32).reshape(n, 3),
+            rotation_y=np.asarray(rys, np.float32),
+            score=np.asarray(scores, np.float32))
+
+    def evaluate_kitti(self, results: List, logger=None,
+                       eval_types=('bbox', 'bev', '3d')) -> Dict[str, float]:
+        """Official difficulty-stratified KITTI AP (R11 + R40).
+
+        The reference obtains these numbers through upstream mmdet3d's
+        ``kitti_eval``; here they come from the native rebuild in
+        ``core/evaluation/kitti_official.py``.
+        """
+        from ..core.evaluation.kitti_official import kitti_eval
+        gt_annos, dt_annos = [], []
+        for i, det in enumerate(results):
+            info = self.data_infos[i]
+            gt_annos.append(info['annos'])
+            shape = info.get('image', {}).get('image_shape', (375, 1242))
+            dt_annos.append(self.lidar_det_to_kitti_anno(
+                det, info['calib'], shape, self.CLASSES))
+        res, report = kitti_eval(gt_annos, dt_annos, list(self.CLASSES),
+                                 eval_types=eval_types)
+        if logger is None:
+            print('\n' + report)
+        return res
+
     def evaluate(self, results: List, metric: str = 'cowa',
                  logger=None, **kwargs) -> Dict[str, float]:
         """results: per frame list of per-class (N, 8) [box7, score].
 
+        'kitti' = the official difficulty-stratified AP protocol
+        (Easy/Moderate/Hard, R11+R40) — the reference's headline metric.
         'cowa' = the reference's flexible metric (``kitti_dataset.py:42-86``):
         IoU3D affinity, per-class COCO matching at [0.7, 0.5] (Car) /
         [0.5, 0.25] (Ped, Cyc).
         """
+        if metric == 'kitti' or metric == ['kitti']:
+            return self.evaluate_kitti(results[:len(self)], logger=logger)
         annotations = [self.get_ann_info(i) for i in range(len(self))]
         report = {}
         thrs_per_class = {'Car': (0.7, 0.5), 'Pedestrian': (0.5, 0.25),

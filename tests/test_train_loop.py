@@ -183,4 +183,5 @@ def test_tools_test_cli(kitti_root, tmp_path):
          os.path.join(work_dir, ckpt)],
         capture_output=True, text=True, env=env, timeout=420)
     assert out.returncode == 0, out.stderr[-2000:]
-    assert 'mAP' in out.stdout, out.stdout[-500:]
+    # default metric is now the official KITTI protocol (AP11/AP40 report)
+    assert 'AP11' in out.stdout, out.stdout[-500:]

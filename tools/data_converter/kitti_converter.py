@@ -81,6 +81,20 @@ def assign_difficulty(annos):
     return annos
 
 
+def read_png_shape(path, default=(375, 1242)):
+    """(H, W) from a PNG IHDR header without an image library."""
+    try:
+        with open(path, 'rb') as f:
+            head = f.read(26)
+        if head[:8] != b'\x89PNG\r\n\x1a\n':
+            return np.array(default, np.int32)
+        w = int.from_bytes(head[16:20], 'big')
+        h = int.from_bytes(head[20:24], 'big')
+        return np.array([h, w], np.int32)
+    except OSError:
+        return np.array(default, np.int32)
+
+
 def points_in_rect_fov(points, calib, img_shape=(375, 1242)):
     """Mask of points projecting into the image."""
     pts = np.c_[points[:, :3], np.ones(len(points))]
@@ -128,6 +142,9 @@ def create_kitti_infos(root, split='training', ids=None,
             'velodyne_path': f'{subdir}/velodyne/{idx}.bin'}}
         calib = read_calib(osp.join(root, subdir, 'calib', f'{idx}.txt'))
         info['calib'] = calib
+        img_path = osp.join(root, subdir, 'image_2', f'{idx}.png')
+        info['image'] = {'image_path': f'{subdir}/image_2/{idx}.png',
+                         'image_shape': read_png_shape(img_path)}
         pts = np.fromfile(osp.join(root, subdir, 'velodyne', f'{idx}.bin'),
                           np.float32).reshape(-1, 4)
         if save_reduced:

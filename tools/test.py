@@ -20,7 +20,9 @@ def parse_args():
     p = argparse.ArgumentParser(description='Test a TPU 3D detector')
     p.add_argument('config')
     p.add_argument('checkpoint', nargs='?', default=None)
-    p.add_argument('--metric', default='cowa')
+    p.add_argument('--metric', default='kitti',
+                   help="'kitti' = official Easy/Mod/Hard AP (R11+R40); "
+                        "'cowa' = the reference's flexible metric")
     p.add_argument('--bf16', action='store_true',
                    help="eval with bf16 compute (the reference's fp16 wrap "
                         "analogue); BN/decode stay f32")
