@@ -95,15 +95,23 @@ class NuScenesDataset:
         results['gt_labels'] = ann['gt_labels'].copy()
         return self.pipeline(results)
 
-    def evaluate(self, results, metric='iou3d_err', logger=None, **kwargs):
-        """Flexible eval reported under the reference's ``mAIE`` name.
+    def evaluate(self, results, metric='nds', logger=None, **kwargs):
+        """'nds' (default): native devkit-semantics evaluation — center
+        -distance mAP at {0.5, 1, 2, 4} m, mATE/mASE/mAOE/mAVE at 2 m, and
+        NDS (``core/evaluation/nuscenes_metrics.py``; the reference gets
+        these from the nuScenes devkit through upstream mmdet3d).
 
-        The reference (``nuscenes_dataset.py:6-14``) only extends the
-        upstream devkit's ErrNameMapping with ``iou3d_err -> mAIE``; the
-        actual number there comes from the nuScenes devkit. Without the
-        devkit, this adapter reports IoU3D-matched flexible mAP under the
-        same key (documented deviation, PARITY.md)."""
+        'iou3d_err'/'mAIE': IoU3D-matched flexible mAP under the
+        reference's ``mAIE`` report name (``nuscenes_dataset.py:6-14``
+        extends the devkit ErrNameMapping with ``iou3d_err -> mAIE``)."""
         annotations = [self.get_ann_info(i) for i in range(len(self))]
+        if metric in ('nds', ['nds'], None):
+            from ..core.evaluation.nuscenes_metrics import nuscenes_eval
+            rep, report = nuscenes_eval(results, annotations,
+                                        list(self.CLASSES))
+            if logger is None:
+                print('\n' + report)
+            return rep
         rep = eval_map_flexible(
             results, annotations, match_thrs=[0.5, 0.7],
             affinity_calculator=dict(type='LidarIOU3D', z_offset=0.5),

@@ -1,0 +1,149 @@
+"""Native nuScenes detection metric tests (center-distance mAP, TP errors,
+NDS) — core/evaluation/nuscenes_metrics.py."""
+import numpy as np
+import pytest
+
+from mmdet3d_gaussian_tpu.core.evaluation import nuscenes_metrics as NM
+
+
+def _frames(rng, num_frames=30, n=4, num_cls=2, vel=False, offset=0.0,
+            dim_scale=1.0, yaw_off=0.0, vel_off=0.0):
+    """Synthetic (det_results, annotations) with perturbed perfect dets."""
+    dets, annos = [], []
+    width = 10 if vel else 8
+    for _ in range(num_frames):
+        boxes = np.concatenate([
+            rng.uniform(-40, 40, (n, 2)),
+            rng.uniform(-2, 0, (n, 1)),
+            rng.uniform(1, 4, (n, 3)),
+            rng.uniform(-np.pi, np.pi, (n, 1))], -1).astype(np.float32)
+        if vel:
+            boxes = np.concatenate(
+                [boxes, rng.uniform(-3, 3, (n, 2)).astype(np.float32)], -1)
+        labels = rng.integers(0, num_cls, n)
+        annos.append(dict(gt_bboxes=boxes, gt_labels=labels))
+        per_cls = []
+        for c in range(num_cls):
+            db = boxes[labels == c].copy()
+            db[:, 0] += offset
+            db[:, 3:6] *= dim_scale
+            db[:, 6] += yaw_off
+            if vel:
+                db[:, 7] += vel_off
+            score = rng.uniform(0.3, 1.0, (len(db), 1)).astype(np.float32)
+            per_cls.append(np.concatenate([db, score], -1))
+        dets.append(per_cls)
+    return dets, annos
+
+
+def test_perfect_detector_full_marks():
+    rng = np.random.default_rng(0)
+    dets, annos = _frames(rng, vel=True)
+    res, report = NM.nuscenes_eval(dets, annos, ['car', 'truck'])
+    assert res['mAP'] == pytest.approx(1.0, abs=1e-6)
+    for k in ('mATE', 'mASE', 'mAOE', 'mAVE'):
+        assert res[k] == pytest.approx(0.0, abs=1e-6)
+    assert res['NDS'] == pytest.approx(1.0, abs=1e-6)
+    assert 'NDS' in report
+
+
+def test_translation_error():
+    rng = np.random.default_rng(1)
+    dets, annos = _frames(rng, offset=0.3)
+    res, _ = NM.nuscenes_eval(dets, annos, ['car', 'truck'])
+    # 0.3 m offset: matched at every threshold, ATE ~ 0.3
+    assert res['mAP'] == pytest.approx(1.0, abs=1e-6)
+    assert res['mATE'] == pytest.approx(0.3, abs=1e-3)
+
+
+def test_distance_threshold_gating():
+    rng = np.random.default_rng(2)
+    dets, annos = _frames(rng, offset=1.5)
+    res, _ = NM.nuscenes_eval(dets, annos, ['car', 'truck'])
+    # matched only at the 2 m and 4 m thresholds -> class AP ~ 0.5
+    assert res['car_AP'] == pytest.approx(0.5, abs=1e-6)
+
+
+def test_scale_and_orientation_errors():
+    rng = np.random.default_rng(3)
+    dets, annos = _frames(rng, dim_scale=1.25, yaw_off=np.pi / 6)
+    res, _ = NM.nuscenes_eval(dets, annos, ['car', 'truck'])
+    # aligned IoU of 1.25^3-scaled box = 1/1.25^3
+    want_ase = 1 - 1 / 1.25 ** 3
+    assert res['mASE'] == pytest.approx(want_ase, abs=1e-3)
+    assert res['mAOE'] == pytest.approx(np.pi / 6, abs=1e-3)
+
+
+def test_velocity_error_and_exclusions():
+    rng = np.random.default_rng(4)
+    dets, annos = _frames(rng, vel=True, vel_off=0.7)
+    res, _ = NM.nuscenes_eval(dets, annos, ['car', 'barrier'])
+    # barrier excluded from AVE -> mAVE comes from car only
+    assert res['mAVE'] == pytest.approx(0.7, abs=1e-3)
+
+
+def test_barrier_yaw_period_pi():
+    rng = np.random.default_rng(5)
+    # a pi yaw flip is a zero orientation error for barriers
+    dets, annos = _frames(rng, num_cls=1, yaw_off=np.pi)
+    res, _ = NM.nuscenes_eval(dets, annos, ['barrier'])
+    assert res['mAOE'] == pytest.approx(0.0, abs=1e-6)
+    res2, _ = NM.nuscenes_eval(dets, annos, ['car'])
+    assert res2['mAOE'] == pytest.approx(np.pi, abs=1e-3)
+
+
+def test_false_positives_reduce_ap():
+    rng = np.random.default_rng(6)
+    dets, annos = _frames(rng, num_cls=1)
+    # add a far high-scoring FP per frame
+    for per_cls in dets:
+        fp = per_cls[0][:1].copy()
+        fp[:, 0] += 500
+        fp[:, -1] = 1.0
+        per_cls[0] = np.concatenate([per_cls[0], fp], 0)
+    res, _ = NM.nuscenes_eval(dets, annos, ['car'])
+    assert res['mAP'] < 0.95
+
+
+def test_nds_arithmetic():
+    # NDS = (5*mAP + sum(1 - min(1, err))) / (5 + n_metrics)
+    rng = np.random.default_rng(7)
+    dets, annos = _frames(rng, vel=True, offset=0.3)
+    res, _ = NM.nuscenes_eval(dets, annos, ['car', 'truck'])
+    want = (5 * res['mAP'] + (1 - res['mATE']) + (1 - res['mASE'])
+            + (1 - res['mAOE']) + (1 - res['mAVE'])) / 9
+    assert res['NDS'] == pytest.approx(want, abs=1e-9)
+
+
+def test_dataset_evaluate_nds(tmp_path):
+    """NuScenesDataset.evaluate default path produces NDS keys."""
+    import pickle
+    from mmdet3d_gaussian_tpu.datasets.other_datasets import NuScenesDataset
+    rng = np.random.default_rng(8)
+    infos = []
+    for i in range(20):
+        n = 3
+        boxes = np.concatenate([
+            rng.uniform(-30, 30, (n, 2)), rng.uniform(-2, 0, (n, 1)),
+            rng.uniform(1, 4, (n, 3)),
+            rng.uniform(-np.pi, np.pi, (n, 1))], -1).astype(np.float32)
+        infos.append(dict(lidar_path=f'{i}.bin', gt_boxes=boxes,
+                          gt_names=np.array(['car', 'pedestrian', 'car']),
+                          gt_velocity=rng.uniform(-2, 2, (n, 2))))
+    f = tmp_path / 'nus_infos.pkl'
+    with open(f, 'wb') as fh:
+        pickle.dump(dict(infos=infos), fh)
+    ds = NuScenesDataset(str(tmp_path), str(f), pipeline=[],
+                         classes=['car', 'pedestrian'])
+    results = []
+    for i in range(len(ds)):
+        ann = ds.get_ann_info(i)
+        per_cls = []
+        for c in range(2):
+            b = ann['gt_bboxes'][ann['gt_labels'] == c]
+            sc = rng.uniform(0.5, 1, (len(b), 1)).astype(np.float32)
+            per_cls.append(np.concatenate([b, sc], -1))
+        results.append(per_cls)
+    rep = ds.evaluate(results)
+    assert rep['mAP'] == pytest.approx(1.0, abs=1e-6)
+    assert rep['NDS'] == pytest.approx(1.0, abs=1e-6)
