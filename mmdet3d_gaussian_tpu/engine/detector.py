@@ -124,13 +124,19 @@ class PointPillarsDetector:
 
 def synthetic_batch(batch_size: int = 2, num_points: int = 8192,
                     num_gt: int = 16, seed: int = 0,
-                    pc_range=(0., -39.68, -3., 69.12, 39.68, 1.)):
-    """KITTI-like random batch for benchmarks / smoke tests."""
+                    pc_range=(0., -39.68, -3., 69.12, 39.68, 1.),
+                    num_feats: int = 4):
+    """KITTI-like random batch for benchmarks / smoke tests.
+
+    num_feats: total point channels (>= 4); channels past xyz are random
+    (e.g. 5 for Waymo's intensity+elongation).
+    """
     rng = np.random.RandomState(seed)
     lo = np.asarray(pc_range[:3])
     hi = np.asarray(pc_range[3:])
     pts = rng.uniform(lo, hi, (batch_size, num_points, 3)).astype(np.float32)
-    inten = rng.rand(batch_size, num_points, 1).astype(np.float32)
+    inten = rng.rand(batch_size, num_points,
+                     max(1, num_feats - 3)).astype(np.float32)
     points = np.concatenate([pts, inten], -1)
     mask = np.ones((batch_size, num_points), bool)
 

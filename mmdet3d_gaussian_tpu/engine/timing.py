@@ -1,0 +1,108 @@
+"""Honest wall-clock timing through the axon TPU tunnel.
+
+Round-2 discovery: ``jax.block_until_ready()`` returns at *dispatch*
+completion under the axon plugin, not execution completion, so naive
+timing loops measure dispatch rate — round-1 bench numbers were ~100x
+optimistic.  The only reliable fence is a device->host readback of a
+value that data-depends on the work.
+
+These helpers therefore:
+
+* chain N data-dependent invocations (a carry scalar threaded through
+  each call so the runtime cannot elide or reorder them),
+* force a scalar readback (``float(...)``) at the end of the chain,
+* time two chain lengths and report the **slope**, so the tunnel RTT
+  (~30 ms measured) and per-call dispatch overhead cancel out.
+
+Validated against a known-FLOPs bf16 matmul chain: the slope recovers
+~peak MXU throughput on a v5e (see ``tests/test_timing.py`` for the CPU
+sanity check).
+"""
+from __future__ import annotations
+
+import time
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ['chain_time', 'make_probe', 'chain_time_state']
+
+
+def _run_chain(probe: Callable, n: int) -> float:
+    """Execute n chained probe calls + forced readback; return seconds."""
+    c = jnp.zeros((), jnp.float32)
+    t0 = time.perf_counter()
+    for _ in range(n):
+        c = probe(c)
+    float(c)   # device->host readback: the only real fence via the tunnel
+    return time.perf_counter() - t0
+
+
+def chain_time(probe: Callable, n_lo: int = 2, n_hi: int = 8,
+               reps: int = 3) -> float:
+    """Seconds per invocation of ``probe(carry)->carry`` via chain slope.
+
+    probe must be jitted, take a f32 scalar carry, and return a f32 scalar
+    that data-depends on both the carry and all the work being timed.
+    """
+    _run_chain(probe, 2)            # compile + warm
+    t_lo = min(_run_chain(probe, n_lo) for _ in range(reps))
+    t_hi = min(_run_chain(probe, n_hi) for _ in range(reps))
+    return max(0.0, (t_hi - t_lo) / (n_hi - n_lo))
+
+
+def make_probe(fn: Callable, *args, inject: Callable = None) -> Callable:
+    """Wrap ``fn(*args)`` as a chainable probe.
+
+    ``inject(args, carry) -> args'`` must thread the carry into the inputs
+    (default: add ``carry * 1e-30`` to the first float array leaf).  The
+    probe returns ``sum(outputs) * 1e-30`` — a cheap scalar that depends on
+    every output element, so XLA cannot dead-code any of the work.
+    """
+    if inject is None:
+        def inject(a, c):
+            leaves, treedef = jax.tree_util.tree_flatten(a)
+            for i, leaf in enumerate(leaves):
+                if hasattr(leaf, 'dtype') and jnp.issubdtype(
+                        leaf.dtype, jnp.floating):
+                    leaves[i] = leaf + c.astype(leaf.dtype) * 1e-30
+                    break
+            return jax.tree_util.tree_unflatten(treedef, leaves)
+
+    @jax.jit
+    def probe(c):
+        out = fn(*inject(args, c))
+        tot = jnp.zeros((), jnp.float32)
+        for leaf in jax.tree_util.tree_leaves(out):
+            if hasattr(leaf, 'dtype') and jnp.issubdtype(
+                    leaf.dtype, jnp.inexact):
+                tot = tot + jnp.sum(leaf).astype(jnp.float32)
+        return tot * 1e-30
+    return probe
+
+
+def chain_time_state(step: Callable, state, batch, n_lo: int = 2,
+                     n_hi: int = 8, reps: int = 2,
+                     loss_key: str = 'loss'):
+    """Seconds per train step for ``step(state, batch) -> (state, metrics)``.
+
+    The state threading makes steps data-dependent; reading the final loss
+    fences the whole chain.  Works with donated state.  Returns
+    (seconds_per_step, final_state).
+    """
+    state, m = step(state, batch)
+    float(m[loss_key])              # compile + warm + fence
+
+    def run(n):
+        nonlocal state
+        t0 = time.perf_counter()
+        m = None
+        for _ in range(n):
+            state, m = step(state, batch)
+        float(m[loss_key])
+        return time.perf_counter() - t0
+
+    t_lo = min(run(n_lo) for _ in range(reps))
+    t_hi = min(run(n_hi) for _ in range(reps))
+    return max(0.0, (t_hi - t_lo) / (n_hi - n_lo)), state

@@ -142,7 +142,12 @@ class GDAnchor3DHead:
         pos = assigned > 0
         neg = assigned == 0
         safe_gt = jnp.clip(assigned - 1, 0)
-        matched_gt = gt_bboxes[safe_gt]
+        # one-hot matmul instead of gt_bboxes[safe_gt]: the row gather from
+        # a (G, 7) table serializes on TPU (7 ms/step at KITTI scale); the
+        # (A, G) x (G, 7) contraction is a trivial MXU op.
+        oh = jax.nn.one_hot(safe_gt, gt_bboxes.shape[0],
+                            dtype=gt_bboxes.dtype)
+        matched_gt = oh @ gt_bboxes
 
         labels = jnp.where(pos, labels_a, self.num_classes).astype(jnp.int32)
         label_weights = (pos | neg).astype(jnp.float32)

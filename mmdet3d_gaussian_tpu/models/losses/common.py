@@ -94,8 +94,13 @@ class CrossEntropyLoss:
             loss = jnp.sum(loss, axis=-1)
         else:
             logp = jax.nn.log_softmax(pred, axis=-1)
-            loss = -jnp.take_along_axis(
-                logp, target[..., None].astype(jnp.int32), axis=-1)[..., 0]
+            # One-hot contraction, NOT take_along_axis: a per-row gather
+            # from an (N, C) table lowers to a serialized scalar gather on
+            # TPU (~18 ms/step at KITTI scale for N=1.3M); the masked sum
+            # is fully vectorized VPU work.
+            onehot = jax.nn.one_hot(target.astype(jnp.int32),
+                                    pred.shape[-1], dtype=logp.dtype)
+            loss = -jnp.sum(logp * onehot, axis=-1)
         return self.loss_weight * weight_reduce_loss(
             loss, weight, self.reduction, avg_factor)
 
