@@ -173,7 +173,8 @@ def main():
 
     # -- phase jits (separate graphs; deltas give the breakdown) --------
     import jax.numpy as jnp
-    from mmdet3d_gaussian_tpu.ops.voxelize import hard_voxelize
+    from mmdet3d_gaussian_tpu.ops.voxelize import (CANVAS_KEY_ORDER,
+                                                   hard_voxelize)
     from mmdet3d_gaussian_tpu.ops.scatter import build_scatter
     from mmdet3d_gaussian_tpu.models.detectors.voxelnet import (
         compute_voxel_coords, batch_coords)
@@ -198,9 +199,10 @@ def main():
         mv = trunk_mc['max_voxels_per_sample'] * b
         if det.model_cfg.get('voxelize_mode', 'hard') == 'hard':
             hv = hard_voxelize(flat, coords4, spatial,
-                               trunk_mc['max_points_per_voxel'], mv)
+                               trunk_mc['max_points_per_voxel'], mv,
+                               key_order=CANVAS_KEY_ORDER)
             return hv.voxels, hv.coords
-        sc = build_scatter(coords4, spatial, mv)
+        sc = build_scatter(coords4, spatial, mv, key_order=CANVAS_KEY_ORDER)
         return sc.voxel_coords
 
     import sys

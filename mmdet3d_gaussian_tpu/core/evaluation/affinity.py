@@ -3,6 +3,8 @@
 whether larger affinity means a better match (IoU) or worse (distance)."""
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from ...registry import EVAL_AFFINITY_CALS
@@ -16,6 +18,11 @@ def _geom():
             return native
     except Exception:
         pass
+    if os.environ.get('MMDET3D_TPU_REQUIRE_NATIVE') == '1':
+        raise RuntimeError(
+            'MMDET3D_TPU_REQUIRE_NATIVE=1 but csrc/libeval_ops.so failed to '
+            'load/build — the numpy fallback is orders of magnitude slower '
+            'at val-set scale; fix the csrc build instead of falling back')
     return G
 
 

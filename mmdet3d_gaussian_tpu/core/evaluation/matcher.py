@@ -54,10 +54,15 @@ def match_coco_np(cost_mat: np.ndarray, cost_thrs: np.ndarray,
 
 
 def _match_impl():
+    import os
     try:
         from .native import match_coco_native
         return match_coco_native
     except Exception:
+        if os.environ.get('MMDET3D_TPU_REQUIRE_NATIVE') == '1':
+            raise RuntimeError(
+                'MMDET3D_TPU_REQUIRE_NATIVE=1 but the native matcher failed '
+                'to load — refusing the O(T*D*G) pure-python fallback')
         return match_coco_np
 
 

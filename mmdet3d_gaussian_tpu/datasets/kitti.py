@@ -35,7 +35,9 @@ class KittiDataset:
         self.pts_prefix = pts_prefix
         self.test_mode = test_mode
         self.with_plane = with_plane
-        self.CLASSES = tuple(classes) if classes else KittiDataset.CLASSES
+        # default to the SUBCLASS's class list (WaymoDataset etc. override
+        # the class attribute; an explicit `classes` arg still wins)
+        self.CLASSES = tuple(classes) if classes else tuple(type(self).CLASSES)
         self.cat2label = {c: i for i, c in enumerate(self.CLASSES)}
         with open(ann_file, 'rb') as f:
             self.data_infos = pickle.load(f)

@@ -262,6 +262,9 @@ class PVRCNNDetector:
             batch['points_mask'], samples.rois, samples.valid, train=True,
             mutable=['batch_stats'],
             rngs=rngs)
+        # capacity telemetry: cumulative sparse-conv sites dropped because
+        # an out_capacity was too small (0 = capacities sized correctly)
+        out2 = dict(out2, sparse_overflow=levels[-1].overflow)
         return (rpn_outs, out2, samples), \
             {'first': aux1['batch_stats'], 'second': aux2['batch_stats']}
 
@@ -316,6 +319,10 @@ class PVRCNNDetector:
             corner * reg_w_n.reshape(-1))
 
         total = sum(losses.values())
+        # telemetry (reported, never part of the objective)
+        if 'sparse_overflow' in out2:
+            losses['metric.sparse_overflow'] = (
+                out2['sparse_overflow'].astype(jnp.float32))
         return total, losses
 
     # -- inference ------------------------------------------------------

@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from ...ops.scatter import batch_coords, build_scatter, compute_voxel_coords
-from ...ops.voxelize import bev_scatter, hard_voxelize
+from ...ops.voxelize import CANVAS_KEY_ORDER, bev_scatter, hard_voxelize
 from ...registry import MODELS
 from ..backbones import SECOND, SECONDFPN
 from ..dense_heads.anchor3d_head import Anchor3DHeadConvs
@@ -107,20 +107,23 @@ class PointPillarsNet(nn.Module):
 
         if self.voxelize_mode == 'hard':
             hv = hard_voxelize(flat, coords4, spatial,
-                               self.max_points_per_voxel, max_voxels)
+                               self.max_points_per_voxel, max_voxels,
+                               key_order=CANVAS_KEY_ORDER)
             encoder = PillarFeatureNet(axis_name=self.axis_name, dtype=dt,
                                        name='voxel_encoder', **enc_cfg)
             pillar_feats = encoder(hv.voxels, hv.coords, hv.num_points,
                                    train=train)
             coords_v = hv.coords
         else:
-            scatter = build_scatter(coords4, spatial, max_voxels)
+            scatter = build_scatter(coords4, spatial, max_voxels,
+                                    key_order=CANVAS_KEY_ORDER)
             encoder = DynamicPillarFeatureNet(axis_name=self.axis_name,
                                               name='voxel_encoder', **enc_cfg)
             pillar_feats = encoder(flat, scatter, train=train)
             coords_v = scatter.voxel_coords
 
-        canvas = bev_scatter(pillar_feats, coords_v, b, nx, ny)
+        canvas = bev_scatter(pillar_feats, coords_v, b, nx, ny,
+                             indices_sorted=True)
         if dt is not None:
             canvas = canvas.astype(dt)
 

@@ -126,7 +126,7 @@ class SingleViewNet(nn.Module):
         nx = math.ceil((pcr[3] - pcr[0]) / vs[0])
         ny = math.ceil((pcr[4] - pcr[1]) / vs[1])
         canvas = bev_scatter(pillar, scatter.voxel_coords, batch_size,
-                             nx, ny)
+                             nx, ny, indices_sorted=True)
 
         out1 = BasicBlock2D(fc, axis_name=self.axis_name,
                             name='res1')(canvas, train)
@@ -212,7 +212,8 @@ class PillarMVFFeatureNet(nn.Module):
             ny = math.ceil((pcr[4] - pcr[1]) / vs[1])
             nz = max(1, math.ceil((pcr[5] - pcr[2]) / vs[2]))
             scatters.append(build_scatter(c4, (b, nx, ny, nz),
-                                          self.max_voxels))
+                                          self.max_voxels,
+                                          key_order=(0, 2, 1, 3)))
 
         # reference concat order (pillar_mvf_encoder.py:230-235):
         # per-view stats first, extra point channels last

@@ -69,6 +69,9 @@ class Scatter(NamedTuple):
     sort_order: jax.Array    # (N,) point indices sorted by (voxel, index) —
                              # argsort of the linearized keys; lets callers
                              # (hard_voxelize) reuse the grouping for free
+    num_overflow: jax.Array = 0  # () int32 — live voxels beyond capacity
+                                 # (rerouted to the trash row); telemetry
+                                 # for sparse-conv out_capacity sizing
 
     # -- reductions -------------------------------------------------------
     def reduce(self, point_feats, op: str = 'max'):
@@ -146,21 +149,24 @@ def _smax_fwd(data, segment_ids, num_segments):
     cand = jnp.where(is_max, idx, n)  # n = sentinel "no winner"
     winner = jax.ops.segment_min(cand, segment_ids,
                                  num_segments=num_segments + 1)[:num_segments]
-    return out, (winner, n, data.shape)
+    return out, (winner, n, data.shape, segment_ids)
 
 
 def _smax_bwd(num_segments, res, g):
-    winner, n, data_shape = res
-    # scatter g[v, c] to point winner[v, c]; sentinel n rows dropped.
-    dpoints = jnp.zeros(data_shape, dtype=g.dtype)
-    v_ids = jnp.broadcast_to(
-        jnp.arange(num_segments, dtype=jnp.int32)[:, None], winner.shape)
-    c_ids = jnp.broadcast_to(
-        jnp.arange(winner.shape[1], dtype=jnp.int32)[None, :], winner.shape)
-    safe_w = jnp.where(winner < n, winner, n - 1)
-    contrib = jnp.where(winner < n, g, 0.0)
-    dpoints = dpoints.at[safe_w.reshape(-1),
-                         c_ids.reshape(-1)].add(contrib.reshape(-1))
+    winner, n, data_shape, segment_ids = res
+    # Each point belongs to exactly one segment, so instead of scattering
+    # g[v, c] to point winner[v, c] (an element-level scatter-add that
+    # serializes on TPU — measured 36 ms + a 4 ms sort per step at KITTI
+    # scale), every point GATHERS its segment's grad row and keeps it only
+    # where it is that (segment, channel)'s winner.  Row gathers vectorize.
+    g_pad = jnp.concatenate([g, jnp.zeros_like(g[:1])], axis=0)
+    w_pad = jnp.concatenate(
+        [winner, jnp.full_like(winner[:1], n)], axis=0)
+    seg = jnp.minimum(segment_ids, num_segments)
+    g_pt = g_pad[seg]                                  # (N, C)
+    w_pt = w_pad[seg]                                  # (N, C)
+    idx = jnp.arange(data_shape[0], dtype=winner.dtype)[:, None]
+    dpoints = jnp.where(w_pt == idx, g_pt, 0.0)
     return dpoints, None
 
 
@@ -172,7 +178,8 @@ segment_max_lowtie.defvjp(_smax_fwd, _smax_bwd)
 # scatter_points_cuda.cu:221-251)
 # --------------------------------------------------------------------------
 def build_scatter(coords, spatial_shape: Sequence[int],
-                  max_voxels: int) -> Scatter:
+                  max_voxels: int,
+                  key_order: Optional[Sequence[int]] = None) -> Scatter:
     """Build the compact point->voxel mapping from integer coords.
 
     Args:
@@ -183,6 +190,12 @@ def build_scatter(coords, spatial_shape: Sequence[int],
         spatial_shape: static extents per coord column (batch size first for
             4-col), used to linearize coords to scalar keys.
         max_voxels: static output capacity.
+        key_order: optional permutation of the coord columns used ONLY for
+            the sort key — it controls the order in which voxels are
+            compacted.  E.g. ``(0, 2, 1, 3)`` for (b, ix, iy, iz) coords
+            compacts in (b, iy, ix) canvas raster order, which makes the
+            downstream BEV scatter's indices sorted (3.2x faster splat on
+            TPU).  Coord values themselves are unchanged.
 
     Returns a :class:`Scatter`.
     """
@@ -197,11 +210,14 @@ def build_scatter(coords, spatial_shape: Sequence[int],
         f'linearized key space {total} overflows int32; shrink the grid or '
         f'split the batch axis')
 
+    cols = list(key_order) if key_order is not None else list(range(c))
+    assert sorted(cols) == list(range(c)), cols
+
     valid = jnp.all(coords >= 0, axis=-1)
     # Linearize; key for invalid = MAX so they sort last.
     mult = 1
     key = jnp.zeros((n,), dtype=jnp.int32)
-    for d in range(c - 1, -1, -1):
+    for d in reversed(cols):
         key = key + coords[:, d] * mult
         mult *= int(spatial_shape[d])
     int32_max = jnp.iinfo(jnp.int32).max
@@ -217,7 +233,9 @@ def build_scatter(coords, spatial_shape: Sequence[int],
     seg_sorted = jnp.cumsum(first) - 1  # compact id in sorted order
     # live voxels actually materialized (overflow beyond capacity is
     # rerouted to the trash row and NOT counted)
-    num_voxels = jnp.clip(seg_sorted[-1] + 1, 0, max_voxels)
+    num_live = jnp.maximum(seg_sorted[-1] + 1, 0)
+    num_voxels = jnp.clip(num_live, 0, max_voxels)
+    num_overflow = jnp.maximum(num_live - max_voxels, 0)
     # invalid points and overflow voxels -> trash id max_voxels
     seg_sorted = jnp.where(
         (sorted_key == int32_max) | (seg_sorted >= max_voxels),
@@ -243,7 +261,8 @@ def build_scatter(coords, spatial_shape: Sequence[int],
                    voxel_counts=voxel_counts,
                    num_voxels=num_voxels.astype(jnp.int32),
                    max_voxels=max_voxels,
-                   sort_order=order.astype(jnp.int32))
+                   sort_order=order.astype(jnp.int32),
+                   num_overflow=num_overflow.astype(jnp.int32))
 
 
 def batch_coords(coords_3d, batch_idx):

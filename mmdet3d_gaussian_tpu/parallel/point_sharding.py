@@ -94,6 +94,95 @@ def sharded_pillar_reduce(points, mask, pc_range, voxel_size,
                          out_specs=P())(points, mask)
 
 
+def sharded_pillar_reduce_sparse(points, mask, pc_range, voxel_size,
+                                 nx: int, ny: int, mesh: Mesh,
+                                 axis: str = 'data', op: str = 'mean',
+                                 bucket_capacity: Optional[int] = None,
+                                 replicate_out: bool = True):
+    """Sparse two-phase cross-chip pillar merge (SURVEY.md §2.11 north star;
+    the alternative VERDICT r1 weak #3 asked for).
+
+    Instead of all-reducing the full dense canvas (55 MB/sample ICI traffic
+    at KITTI 432x496x64), each chip:
+
+      1. locally segment-reduces its point slice into its dense partial
+         canvas (no comms — same as the dense path);
+      2. COMPACTS the live pillar fragments of each of the n canvas
+         y-stripes into ``bucket_capacity`` (cell_id, feature) COO rows;
+      3. routes fragments to the stripe-owner chip with ONE
+         ``all_to_all`` — traffic = n_dev * capacity * (C+2) * 4 B per chip
+         (~8 MB at capacity 4k, C 64) instead of the canvas size;
+      4. the owner scatter-reduces received fragments into its stripe.
+
+    Returns the canvas y-row-sharded over ``axis`` (out_specs P(axis)),
+    ready for spatially-sharded convs; ``replicate_out=True`` all-gathers
+    to the replicated canvas instead (then total traffic matches a
+    reduce-scatter + all-gather = one all-reduce, so only use replication
+    for parity checks).  Capacity overflow drops the LOWEST-index cells
+    last (deterministic) — callers size ``bucket_capacity`` >= live pillars
+    per (chip, stripe); defaults to one-quarter of the stripe cells.
+
+    op: 'sum' | 'mean' | 'max'.
+    """
+    n = mesh.shape[axis]
+    assert ny % n == 0, (ny, n)
+    rows_per = ny // n
+    stripe_cells = rows_per * nx
+    cap = bucket_capacity or max(128, stripe_cells // 4)
+    cap = min(cap, stripe_cells)
+
+    def fn(pts, m):
+        table = _local_dense_reduce(pts, m, pc_range, voxel_size, nx, ny,
+                                    op)                       # (ny*nx, F)
+        f = table.shape[-1]
+        empty_val = -jnp.inf if op == 'max' else 0.0
+        live = (jnp.any(table != empty_val, axis=-1)
+                if op == 'max' else jnp.any(table != 0.0, axis=-1))
+        stripes = table.reshape(n, stripe_cells, f)
+        live = live.reshape(n, stripe_cells)
+
+        # top-`cap` live cells per stripe (liveness desc, cell idx asc)
+        rank = jnp.where(live, jnp.arange(stripe_cells)[None, :],
+                         stripe_cells + jnp.arange(stripe_cells)[None, :])
+        _, sel = jax.lax.top_k(-rank, cap)                    # (n, cap)
+        frag = jnp.take_along_axis(stripes, sel[..., None], axis=1)
+        frag_live = jnp.take_along_axis(live, sel, axis=1)
+        cell = jnp.where(frag_live, sel, stripe_cells)        # trash slot
+        # (n, cap, F+1): feature rows + cell id, routed to stripe owners
+        packed = jnp.concatenate(
+            [frag, cell[..., None].astype(pts.dtype)], axis=-1)
+        recv = jax.lax.all_to_all(packed, axis, split_axis=0,
+                                  concat_axis=0, tiled=False)  # (n, cap, F+1)
+
+        rcell = recv[..., -1].astype(jnp.int32).reshape(-1)
+        rfeat = recv[..., :-1].reshape(-1, f)
+        if op == 'max':
+            own = jnp.full((stripe_cells + 1, f), -jnp.inf, pts.dtype)
+            own = own.at[rcell].max(rfeat)[:stripe_cells]
+            own = jnp.where(jnp.isfinite(own), own, 0.0)
+            out = own
+        else:
+            own = jnp.zeros((stripe_cells + 1, f), pts.dtype)
+            own = own.at[rcell].add(rfeat)[:stripe_cells]
+            if op == 'mean':
+                own = own[:, :-1] / jnp.maximum(own[:, -1:], 1.0)
+            else:
+                own = own[:, :-1]
+            out = own
+        out = out.reshape(rows_per, nx, -1)
+        if replicate_out:
+            out = jax.lax.all_gather(out, axis, axis=0,
+                                     tiled=True)              # (ny, nx, C)
+        return out
+
+    out_spec = P() if replicate_out else P(axis)
+    # check_vma=False: the final tiled all_gather does replicate the canvas,
+    # but shard_map's static replication checker cannot infer that.
+    return jax.shard_map(fn, mesh=mesh, in_specs=(P(axis), P(axis)),
+                         out_specs=out_spec,
+                         check_vma=False)(points, mask)
+
+
 def reference_pillar_reduce(points, mask, pc_range, voxel_size, nx, ny,
                             op: str = 'mean'):
     """Single-device oracle with identical semantics."""

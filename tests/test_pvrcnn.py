@@ -143,3 +143,177 @@ def test_pvrcnn_predict():
     assert boxes.shape[0] == 2 and boxes.shape[-1] == 7
     assert scores.shape == labels.shape == valid.shape
     assert np.isfinite(np.asarray(boxes)).all()
+
+
+def test_roi_canonical_targets_numpy_oracle():
+    """Independent numpy re-derivation of the reference target math
+    (``pvrcnn_bbox_head.py:253-317``): canonical rotation, opposite-yaw
+    flip, [-pi/2, pi/2] clamp, encode against the zero-centered roi anchor.
+    """
+    rng = np.random.RandomState(7)
+    n = 64
+    rois = np.stack([
+        rng.uniform(-10, 10, n), rng.uniform(-10, 10, n),
+        rng.uniform(-2, 0, n), rng.uniform(1, 5, n),
+        rng.uniform(1, 3, n), rng.uniform(1, 2, n),
+        rng.uniform(-4 * np.pi, 4 * np.pi, n)], -1).astype(np.float32)
+    gt = rois + rng.uniform(-0.4, 0.4, (n, 7)).astype(np.float32)
+    ious = rng.uniform(0, 1, n).astype(np.float32)
+
+    s = RoISamples(rois=jnp.asarray(rois), roi_labels=jnp.zeros(n, jnp.int32),
+                   gt_of_roi=jnp.asarray(gt), ious=jnp.asarray(ious),
+                   is_pos=jnp.asarray(ious > 0.55),
+                   valid=jnp.ones(n, bool))
+    label, label_w, tgt, reg_w = roi_canonical_targets(s, DeltaXYZWLHRBBoxCoder())
+
+    # ---- numpy oracle --------------------------------------------------
+    cls_pos, cls_neg = 0.75, 0.25
+    lab = (ious > cls_pos).astype(np.float32)
+    interval = (ious >= cls_neg) & (ious <= cls_pos)
+    lab[interval] = ious[interval] * 2 - 0.5
+
+    roi_ry = rois[:, 6] % (2 * np.pi)
+    ct = gt[:, 0:3] - rois[:, 0:3]
+    c, si = np.cos(-roi_ry), np.sin(-roi_ry)
+    ct_rot = np.stack([c * ct[:, 0] - si * ct[:, 1],
+                       si * ct[:, 0] + c * ct[:, 1], ct[:, 2]], -1)
+    ry = (gt[:, 6] % (2 * np.pi)) - roi_ry
+    ry = ry % (2 * np.pi)
+    opp = (ry > np.pi * 0.5) & (ry < np.pi * 1.5)
+    ry[opp] = (ry[opp] + np.pi) % (2 * np.pi)
+    ry[ry > np.pi] -= 2 * np.pi
+    ry = np.clip(ry, -np.pi / 2, np.pi / 2)
+
+    # DeltaXYZWLHR encode vs the zero-centered roi anchor
+    wa, la, ha = rois[:, 3], rois[:, 4], rois[:, 5]
+    za = ha / 2                        # anchor z lifted by h/2
+    diag = np.sqrt(la ** 2 + wa ** 2)
+    exp = np.stack([
+        ct_rot[:, 0] / diag, ct_rot[:, 1] / diag,
+        (ct_rot[:, 2] + gt[:, 5] / 2 - za) / ha,
+        np.log(gt[:, 3] / wa), np.log(gt[:, 4] / la),
+        np.log(gt[:, 5] / ha), ry], -1)
+
+    np.testing.assert_allclose(np.asarray(label), lab, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(tgt), exp, rtol=2e-4, atol=3e-4)
+    np.testing.assert_allclose(np.asarray(reg_w), (ious > 0.55).astype(np.float32))
+
+
+def test_sparse_conv_overflow_telemetry():
+    """out_capacity too small -> SparseTensor.overflow counts dropped sites."""
+    from mmdet3d_gaussian_tpu.ops.sparse_conv import (make_sparse_tensor,
+                                                      sparse_conv3d)
+    rng = np.random.RandomState(0)
+    v = 64
+    coords = np.stack([np.zeros(v), rng.randint(0, 8, v),
+                       rng.randint(0, 16, v), rng.randint(0, 16, v)],
+                      -1).astype(np.int32)
+    # dedup coords so the input itself is well-formed
+    coords = np.unique(coords, axis=0)
+    v = len(coords)
+    feats = rng.randn(v, 4).astype(np.float32)
+    st = make_sparse_tensor(jnp.asarray(feats), jnp.asarray(coords),
+                            (1, 8, 16, 16))
+    w = jnp.asarray(rng.randn(27, 4, 8).astype(np.float32) * 0.1)
+    out_small = sparse_conv3d(st, w, stride=2, out_capacity=8)
+    out_big = sparse_conv3d(st, w, stride=2, out_capacity=512)
+    assert int(out_small.overflow) > 0
+    assert int(out_big.overflow) == 0
+
+
+@pytest.mark.slow
+def test_pvrcnn_learns():
+    """Tiny synthetic cars: loss must descend and a confident detection must
+    appear near a gt after a few hundred adam steps (VERDICT r1 next #6)."""
+    import optax
+
+    det = PVRCNNDetector(model_cfg=TINY_PVRCNN, rpn_head_cfg=TINY_RPN)
+    pcr = TINY_PVRCNN['point_cloud_range']
+    rng = np.random.RandomState(0)
+
+    def scene():
+        boxes = np.zeros((4, 7), np.float32)
+        labels = np.full(4, 2, np.int32)
+        valid = np.zeros(4, bool)
+        pts = []
+        for g in range(2):
+            ctr = rng.uniform([3, -4.5, -1.2], [10.5, 4.5, -0.6])
+            yaw = rng.choice([0.0, np.pi / 2]) + rng.uniform(-0.1, 0.1)
+            dims = np.array([3.9, 1.6, 1.56])
+            boxes[g, :3] = ctr - [0, 0, dims[2] / 2]
+            boxes[g, 3:6] = dims
+            boxes[g, 6] = yaw
+            valid[g] = True
+            local = rng.uniform(-0.5, 0.5, (160, 3)) * dims
+            c, s = np.cos(yaw), np.sin(yaw)
+            pts.append(np.stack([
+                c * local[:, 0] - s * local[:, 1] + ctr[0],
+                s * local[:, 0] + c * local[:, 1] + ctr[1],
+                local[:, 2] + ctr[2]], -1))
+        bg = rng.uniform([0.2, -6, -1.9], [12.6, 6, -1.6], (192, 3))
+        xyz = np.concatenate(pts + [bg], 0)[:512].astype(np.float32)
+        inten = rng.rand(512, 1).astype(np.float32)
+        return (np.concatenate([xyz, inten], -1), boxes, labels, valid)
+
+    batch = dict(points=[], points_mask=[], gt_bboxes=[], gt_labels=[],
+                 gt_valid=[])
+    for _ in range(2):
+        p, bx, lb, vl = scene()
+        batch['points'].append(p)
+        batch['points_mask'].append(np.ones(len(p), bool))
+        batch['gt_bboxes'].append(bx)
+        batch['gt_labels'].append(lb)
+        batch['gt_valid'].append(vl)
+    batch = {k: jnp.asarray(np.stack(v)) for k, v in batch.items()}
+
+    variables = jax.jit(det.init)(jax.random.PRNGKey(0), batch)
+    params = {'first': variables['first']['params'],
+              'second': variables['second']['params']}
+    stats = {'first': variables['first']['batch_stats'],
+             'second': variables['second']['batch_stats']}
+    opt = optax.adam(3e-3)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(params, stats, opt_state):
+        def loss_fn(p):
+            v = {'first': {'params': p['first'],
+                           'batch_stats': stats['first']},
+                 'second': {'params': p['second'],
+                            'batch_stats': stats['second']}}
+            outs, new_stats = det.apply_train(v, batch)
+            total, losses = det.loss(outs, batch)
+            return total, (losses, new_stats)
+        (total, (losses, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, new_stats, opt_state, total
+
+    # 500 steps: flax BN momentum 0.99 needs ~500 updates before the
+    # running averages (used by the eval path) converge to the batch stats
+    # the RPN was trained with — at 200 steps train losses are ~0 but eval
+    # proposals still collapse (debugged round 2).
+    losses = []
+    for i in range(500):
+        params, stats, opt_state, total = step(params, stats, opt_state)
+        if i % 50 == 0:
+            losses.append(float(total))
+            assert np.isfinite(losses[-1]), (i, losses)
+    first, last = losses[0], losses[-1]
+    assert last < 0.6 * first, (first, last, losses)
+
+    variables = {'first': {'params': params['first'],
+                           'batch_stats': stats['first']},
+                 'second': {'params': params['second'],
+                            'batch_stats': stats['second']}}
+    boxes, scores, labels, valid = jax.jit(det.predict)(variables, batch)
+    boxes, scores, valid = (np.asarray(boxes), np.asarray(scores),
+                            np.asarray(valid))
+    assert valid.any(), 'no detections after training'
+    # the best-scoring detection must sit near a gt center of its sample
+    flat = np.argmax(np.where(valid, scores, -1))
+    bi, di = np.unravel_index(flat, scores.shape)
+    gt_ctrs = np.asarray(batch['gt_bboxes'][bi][:2, :2])
+    d = np.linalg.norm(gt_ctrs - boxes[bi, di, :2][None], axis=-1).min()
+    assert d < 2.0, (d, boxes[bi, di], gt_ctrs)
