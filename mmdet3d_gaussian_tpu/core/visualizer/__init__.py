@@ -1,9 +1,15 @@
-"""Result visualization: .obj dumps + optional open3d interactive view.
+"""Result visualization package.
 
-Re-provision of the reference visual debug tooling
-(``core/visualizer/show_result.py:1-122`` writes mesh/obj files;
-``open3d_vis.py`` renders interactively).  This image has no display/open3d,
-so the file-dump path is primary; the open3d path is gated on import.
+Re-provision of the reference visual debug tooling:
+
+* :func:`show_result` (here) — ``.obj`` dumps, the headless path
+  (reference ``core/visualizer/show_result.py:1-122``);
+* :mod:`.open3d_vis` — the interactive ``Visualizer`` /
+  ``show_pts_boxes`` / ``show_pts_index_boxes`` API (reference
+  ``open3d_vis.py``), gated on open3d;
+* :mod:`.plot_bev` — headless matplotlib PNG renders of the reference's
+  inline debug plots (SimOTA assignment, ball-query grouping, heatmaps);
+* :mod:`.geometry` — the pure-numpy geometry layer all of the above share.
 """
 from __future__ import annotations
 
@@ -13,7 +19,11 @@ from typing import Optional
 
 import numpy as np
 
-from .bbox.structures import corners_3d as _corners_3d
+from .geometry import (BOX_EDGES, bev_outline, box_corners,  # noqa: F401
+                       box_wireframe, colorize_points, points_in_boxes_mask,
+                       seg_mask_colors)
+from .plot_bev import (plot_assignment_bev, plot_grouping_bev,  # noqa: F401
+                       plot_heatmap_bev)
 
 
 def _write_points_obj(points: np.ndarray, path: str):
@@ -27,9 +37,9 @@ _BOX_EDGES = [(0, 1), (1, 2), (2, 3), (3, 0), (4, 5), (5, 6), (6, 7),
 
 
 def _write_boxes_obj(boxes: np.ndarray, path: str):
-    """Boxes as wireframe line elements."""
-    import jax.numpy as jnp
-    corners = np.asarray(_corners_3d(jnp.asarray(boxes)))
+    """Boxes as wireframe line elements (pure numpy — a viz dump must not
+    require a JAX device)."""
+    corners = box_corners(boxes)
     with open(path, 'w') as f:
         for box in corners:
             for c in box:
@@ -75,11 +85,10 @@ def show_open3d(points, gt_bboxes=None, pred_bboxes=None):
             points=o3d.utility.Vector3dVector(
                 np.asarray(points)[:, :3].astype(np.float64)))
         geoms.append(pc)
-    import jax.numpy as jnp
     for boxes, color in ((gt_bboxes, (0, 1, 0)), (pred_bboxes, (1, 0, 0))):
         if boxes is None or not len(boxes):
             continue
-        corners = np.asarray(_corners_3d(jnp.asarray(boxes)))
+        corners = box_corners(np.asarray(boxes))
         for box in corners:
             ls = o3d.geometry.LineSet(
                 points=o3d.utility.Vector3dVector(box.astype(np.float64)),
