@@ -1,9 +1,14 @@
 """Profiling / tracing utilities.
 
 The reference has no profiler (SURVEY.md §5) — only iteration timing via
-logger hooks.  Here: ``jax.profiler`` trace capture + a
-``block_until_ready`` micro-bench harness for per-stage speed-of-light
-numbers.
+logger hooks.  Here: ``jax.profiler`` trace capture + a micro-bench
+harness for per-stage speed-of-light numbers.
+
+Timing note: ``block_until_ready`` does NOT fence execution through the
+axon TPU tunnel (it returns at dispatch) — :func:`timeit` therefore
+delegates to the chained-readback slope instrument in
+:mod:`~mmdet3d_gaussian_tpu.engine.timing`; on directly-attached devices
+(and CPU) the same instrument is simply exact.
 """
 from __future__ import annotations
 
@@ -24,17 +29,12 @@ def trace(log_dir: str = '/tmp/jax-trace'):
         jax.profiler.stop_trace()
 
 
-def timeit(fn: Callable, *args, iters: int = 20, warmup: int = 2,
+def timeit(fn: Callable, *args, iters: int = 8, warmup: int = 2,
            name: str = '') -> float:
-    """Median-free simple wall-clock of a jitted fn (seconds/iter)."""
-    for _ in range(warmup):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / iters
+    """Honest seconds/iter of ``fn(*args)`` (chained-readback slope)."""
+    del warmup
+    from .timing import chain_time, make_probe
+    dt = chain_time(make_probe(fn, *args), n_lo=2, n_hi=max(4, iters))
     if name:
         print(f'{name}: {dt * 1e3:.3f} ms/iter')
     return dt

@@ -228,12 +228,18 @@ class PVRCNNDetector:
 
     def _proposals(self, rpn_outs):
         """RPN maps -> per-sample fixed-size proposals (boxes, labels,
-        scores, valid)."""
+        scores, valid).
+
+        Uses the PartA2RPNHead class-agnostic NMS flow
+        (:meth:`GDAnchor3DHead.get_proposals`) — the reference PV-RCNN's
+        first stage (``hv_pvrcnn_secfpn_4x4_80e_kitti-3d-3class.py:105``)
+        suppresses overlapping proposals across classes with a single NMS.
+        """
         cls, bbox, dirp = rpn_outs
         num = self.cfg['num_proposals']
 
         def single(c, b, d):
-            boxes, scores, labels, valid = self.rpn_head.get_bboxes(
+            boxes, scores, labels, valid = self.rpn_head.get_proposals(
                 c, b, d, self.anchors, max_num=num)
             return boxes, labels, scores, valid
 

@@ -172,20 +172,33 @@ class GDAnchor3DHead:
         dir_pred: (B, H, W, S*R*2); anchors (H, W, S, R, 7);
         targets_batched: AnchorTargets with a leading batch dim (vmapped
         ``get_targets``).
-        """
-        b = cls_score.shape[0]
-        c = self.num_classes
-        anchors_flat = jnp.broadcast_to(
-            anchors.reshape(1, -1, 7),
-            (b, anchors.size // 7, 7)).reshape(-1, 7)
 
-        cls_score = cls_score.reshape(-1, c).astype(jnp.float32)
-        bbox_pred = bbox_pred.reshape(-1, 7).astype(jnp.float32)
-        labels = targets_batched.labels.reshape(-1)
-        label_weights = targets_batched.label_weights.reshape(-1)
-        bbox_targets = targets_batched.bbox_targets.reshape(-1, 7)
-        bbox_weights = targets_batched.bbox_weights.reshape(-1)
-        dir_targets = targets_batched.dir_targets.reshape(-1)
+        Everything below stays in the conv output layout (B, H, W, A, ·)
+        with box components carried as separate planes: flattening to
+        (B·A, 7) rows pads the 7-lane minor dim to 128 on TPU and forces
+        relayout copies at every fusion boundary (~36 ms/step of pure
+        data movement at KITTI b4 before this layout).
+        """
+        b, hh, ww = cls_score.shape[:3]
+        s, r = anchors.shape[2], anchors.shape[3]
+        a = s * r
+        c = self.num_classes
+
+        # anchors are numpy constants (built at detector construction);
+        # the component split happens at trace time, free.
+        anc = np.asarray(anchors).reshape(hh, ww, a, 7)
+        anc_parts = tuple(jnp.asarray(anc[..., i]) for i in range(7))
+
+        cls_score = cls_score.reshape(b, hh, ww, a, c).astype(jnp.float32)
+        pred5 = bbox_pred.reshape(b, hh, ww, a, 7).astype(jnp.float32)
+        pred_parts = tuple(pred5[..., i] for i in range(7))
+
+        labels = targets_batched.labels.reshape(b, hh, ww, a)
+        label_weights = targets_batched.label_weights.reshape(b, hh, ww, a)
+        tgt7 = targets_batched.bbox_targets.reshape(b, hh, ww, a, 7)
+        tgt_parts = tuple(tgt7[..., i] for i in range(7))
+        bbox_weights = targets_batched.bbox_weights.reshape(b, hh, ww, a)
+        dir_targets = targets_batched.dir_targets.reshape(b, hh, ww, a)
 
         num_pos = jnp.sum(targets_batched.num_pos).astype(jnp.float32)
         avg = jnp.maximum(num_pos, 1.0)
@@ -197,35 +210,87 @@ class GDAnchor3DHead:
         # regression on decoded boxes (GDLoss) — weight rows by positivity
         loss_bbox = 0.0
         if self.loss_decoded_bbox is not None and self.decode_weight:
-            dec_p = self.coder.decode(anchors_flat, bbox_pred)
-            dec_t = self.coder.decode(anchors_flat, bbox_targets)
+            dec_p = self.coder.decode_parts(anc_parts, pred_parts)
+            dec_t = self.coder.decode_parts(anc_parts, tgt_parts)
             w = bbox_weights * self.decode_weight
             loss_bbox = loss_bbox + self.loss_decoded_bbox(
                 dec_p, dec_t, weight=w, avg_factor=avg)
 
-        # sin-difference SmoothL1 on encoded deltas
-        if self.code_weight is not None and any(self.code_weight):
-            cw = jnp.asarray(self.code_weight, jnp.float32)
-            pred_s, tgt_s = bbox_pred, bbox_targets
+        # sin-difference SmoothL1 on encoded deltas, per component plane
+        if ((self.code_weight is not None and any(self.code_weight))
+                or (self.code_weight is None
+                    and self.loss_decoded_bbox is None)):
+            cw = ([float(v) for v in self.code_weight]
+                  if self.code_weight is not None else [1.0] * 7)
+            p_parts, t_parts = pred_parts, tgt_parts
             if self.diff_rad_by_sin:
-                pred_s, tgt_s = add_sin_difference(pred_s, tgt_s)
-            loss_bbox = loss_bbox + self.loss_bbox(
-                pred_s, tgt_s, weight=bbox_weights[:, None] * cw,
-                avg_factor=avg)
-        elif self.code_weight is None and self.loss_decoded_bbox is None:
-            pred_s, tgt_s = bbox_pred, bbox_targets
-            if self.diff_rad_by_sin:
-                pred_s, tgt_s = add_sin_difference(pred_s, tgt_s)
-            loss_bbox = loss_bbox + self.loss_bbox(
-                pred_s, tgt_s, weight=bbox_weights[:, None],
-                avg_factor=avg)
+                rp, rt = pred_parts[6], tgt_parts[6]
+                p_parts = pred_parts[:6] + (jnp.sin(rp) * jnp.cos(rt),)
+                t_parts = tgt_parts[:6] + (jnp.cos(rp) * jnp.sin(rt),)
+            for i in range(7):
+                if cw[i]:
+                    loss_bbox = loss_bbox + self.loss_bbox(
+                        p_parts[i], t_parts[i],
+                        weight=bbox_weights * cw[i], avg_factor=avg)
         losses['loss_bbox'] = loss_bbox
 
         if self.loss_dir is not None and dir_pred is not None:
-            dir_pred = dir_pred.reshape(-1, 2).astype(jnp.float32)
+            dirp = dir_pred.reshape(b, hh, ww, a, 2).astype(jnp.float32)
             losses['loss_dir'] = self.loss_dir(
-                dir_pred, dir_targets, bbox_weights, avg_factor=avg)
+                dirp, dir_targets, bbox_weights, avg_factor=avg)
         return losses
+
+    # ------------------------------------------------------------------
+    def get_proposals(self, cls_score, bbox_pred, dir_pred, anchors,
+                      max_num: Optional[int] = None):
+        """PartA2RPNHead-style class-AGNOSTIC proposal generation.
+
+        The reference PV-RCNN's first stage is a ``PartA2RPNHead``
+        (``/root/reference/configs/kitti/hv_pvrcnn_secfpn_4x4_80e_kitti-3d-3class.py:105-131``,
+        class from upstream mmdet3d ``parta2_rpn_head.py``): rank anchors by
+        their max-class sigmoid score, keep ``nms_pre``, then run ONE rotated
+        BEV NMS over all classes together — overlapping proposals of
+        different classes suppress each other, unlike :meth:`get_bboxes`'s
+        per-class NMS.  Returns (boxes (K, 7), scores (K,), labels (K,),
+        valid (K,)) with K = ``max_num``.
+        """
+        cfg = self.test_cfg
+        c = self.num_classes
+        nms_pre = int(cfg.get('nms_pre', 1024))
+        score_thr = float(cfg.get('score_thr', 0.0))
+        nms_thr = float(cfg.get('nms_thr', 0.8))
+        max_num = int(max_num or cfg.get('max_num', 128))
+        use_rotate_nms = bool(cfg.get('use_rotate_nms', True))
+
+        scores = jax.nn.sigmoid(cls_score.reshape(-1, c).astype(jnp.float32))
+        deltas = bbox_pred.reshape(-1, 7).astype(jnp.float32)
+        anchors_flat = anchors.reshape(-1, 7)
+        boxes = self.coder.decode(anchors_flat, deltas)
+        dir_cls = jnp.argmax(dir_pred.reshape(-1, 2), axis=-1)
+        yaw = boxes[..., 6]
+        dir_rot = limit_period(yaw - self.dir_offset, 0.0, np.pi)
+        yaw = dir_rot + self.dir_offset + np.pi * dir_cls.astype(yaw.dtype)
+        boxes = boxes.at[..., 6].set(yaw)
+
+        max_scores = jnp.max(scores, axis=-1)
+        labels = jnp.argmax(scores, axis=-1).astype(jnp.int32)
+        nms_pre = min(nms_pre, max_scores.shape[0])
+        s_sorted, topi = jax.lax.top_k(max_scores, nms_pre)
+        b_sorted = boxes[topi]
+        l_sorted = labels[topi]
+        v_sorted = s_sorted > score_thr
+
+        bev = jnp.stack([b_sorted[:, 0], b_sorted[:, 1], b_sorted[:, 3],
+                         b_sorted[:, 4], b_sorted[:, 6]], axis=-1)
+        if use_rotate_nms:
+            keep = nms_bev(bev, s_sorted, nms_thr, valid=v_sorted)
+        else:
+            keep = nms_normal_bev(bev, s_sorted, nms_thr, valid=v_sorted)
+
+        kept_scores = jnp.where(keep, s_sorted, -1.0)
+        final_scores, fidx = jax.lax.top_k(kept_scores, max_num)
+        return (b_sorted[fidx], final_scores, l_sorted[fidx],
+                final_scores > jnp.maximum(score_thr, 0.0))
 
     # ------------------------------------------------------------------
     def get_bboxes(self, cls_score, bbox_pred, dir_pred, anchors,

@@ -47,8 +47,8 @@ class FocalLoss:
         onehot = jax.nn.one_hot(target, num_classes + 1,
                                 dtype=pred.dtype)[..., :num_classes]
         loss = sigmoid_focal_loss(pred, onehot, self.gamma, self.alpha)
-        if weight is not None and weight.ndim == 1:
-            weight = weight[:, None]
+        if weight is not None and weight.ndim == loss.ndim - 1:
+            weight = weight[..., None]
         return self.loss_weight * weight_reduce_loss(
             loss, weight, self.reduction, avg_factor)
 

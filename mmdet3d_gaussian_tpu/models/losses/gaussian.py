@@ -47,28 +47,41 @@ def _safe_sqrt(x):
 
 
 def gaussian_params(boxes, center_offset: Sequence[float] = (0., 0., 0.5)):
-    """Box ``(..., 7)`` -> Gaussian components.
+    """Box ``(..., 7)`` array OR length-7 component sequence -> Gaussian
+    components.
 
     Mirrors ``preprocess`` (reference ``gaussian_distance_loss.py:8-21``):
     dims are clamped to [1e-7, 1e7] *before* halving; the mean is
     ``xyz + center_offset * dims`` (default lifts bottom-center z to the
     gravity center).
 
-    Returns dict with: ``xy (.., 2), z, cos, sin, a, b, sl`` where (a, b) are
+    The component-sequence form ``(x, y, z, w, l, h, yaw)`` keeps every
+    quantity a same-shape plane so the whole distance stays elementwise and
+    XLA-fusible (no ``(N, 7)`` minor-dim-7 layouts — those pad 7 lanes to
+    128 on TPU).
+
+    Returns dict with: ``x, y, z, cos, sin, a, b, sl`` where (a, b) are
     the BEV semi-axes and sl the vertical semi-axis.
     """
-    off = jnp.asarray(center_offset, dtype=boxes.dtype)
-    xyz = boxes[..., 0:3] + off * boxes[..., 3:6]
-    dims = jnp.clip(boxes[..., 3:6], _EPS_DIM, _DIM_MAX)
-    yaw = boxes[..., 6]
+    if isinstance(boxes, (tuple, list)):
+        x, y, z, w, l, h, yaw = boxes
+    else:
+        x, y, z = boxes[..., 0], boxes[..., 1], boxes[..., 2]
+        w, l, h = boxes[..., 3], boxes[..., 4], boxes[..., 5]
+        yaw = boxes[..., 6]
+    off = center_offset
+    w_c = jnp.clip(w, _EPS_DIM, _DIM_MAX)
+    l_c = jnp.clip(l, _EPS_DIM, _DIM_MAX)
+    h_c = jnp.clip(h, _EPS_DIM, _DIM_MAX)
     return dict(
-        xy=xyz[..., 0:2],
-        z=xyz[..., 2],
+        x=x + off[0] * w,
+        y=y + off[1] * l,
+        z=z + off[2] * h,
         cos=jnp.cos(yaw),
         sin=jnp.sin(yaw),
-        a=0.5 * dims[..., 0],
-        b=0.5 * dims[..., 1],
-        sl=0.5 * dims[..., 2],
+        a=0.5 * w_c,
+        b=0.5 * l_c,
+        sl=0.5 * h_c,
     )
 
 
@@ -117,7 +130,8 @@ def gwd3d(gp, gt, fun='log1p', tau=1.0, alpha=1.0, normalize=True):
     tr(...) = sqrt(tr(Sp St) + 2 sqrt(det Sp det St)) and the z-block
     contributing (sl_p - sl_t)^2.
     """
-    xyz_d = (jnp.sum((gp['xy'] - gt['xy']) ** 2, -1) + (gp['z'] - gt['z']) ** 2)
+    xyz_d = ((gp['x'] - gt['x']) ** 2 + (gp['y'] - gt['y']) ** 2
+             + (gp['z'] - gt['z']) ** 2)
 
     p00, p01, p11 = _sigma_bev(gp)
     t00, t01, t11 = _sigma_bev(gt)
@@ -149,8 +163,8 @@ def kld3d(gp, gt, fun='log1p', tau=1.0, alpha=1.0, sqrt=True):
     i00, i01, i11 = _sigma_bev_inv(gp)
     t00, t01, t11 = _sigma_bev(gt)
 
-    dx = gp['xy'][..., 0] - gt['xy'][..., 0]
-    dy = gp['xy'][..., 1] - gt['xy'][..., 1]
+    dx = gp['x'] - gt['x']
+    dy = gp['y'] - gt['y']
     dz = gp['z'] - gt['z']
     isl2_p = 1.0 / gp['sl'] ** 2
 
@@ -178,8 +192,8 @@ def bd3d(gp, gt, fun='log1p', tau=1.0, alpha=1.0, sqrt=True):
 
     det = jnp.clip(m00 * m11 - m01 * m01, 1e-7)
     inv_det = 1.0 / det
-    dx = gp['xy'][..., 0] - gt['xy'][..., 0]
-    dy = gp['xy'][..., 1] - gt['xy'][..., 1]
+    dx = gp['x'] - gt['x']
+    dy = gp['y'] - gt['y']
     dz = gp['z'] - gt['z']
     # v^T M^{-1} v with M^{-1} = adj(M)/det.
     quad = (m11 * dx * dx - 2 * m01 * dx * dy + m00 * dy * dy) * inv_det
@@ -310,6 +324,22 @@ class GDLoss:
         reduction = reduction_override or self.reduction
         fkwargs = dict(self.kwargs)
         fkwargs.update(kwargs)
+
+        if isinstance(pred, (tuple, list)):
+            # Component-plane form: pred/target are length-7 sequences of
+            # same-shape arrays, weight (if given) has that shape.  No
+            # flattening — the distance stays in the caller's (fusible)
+            # layout end to end.
+            if weight is not None:
+                valid = weight > 0
+                pred = tuple(jnp.where(valid, p, t)
+                             for p, t in zip(pred, target))
+            gp = gaussian_params(pred, self.center_offset)
+            gt = gaussian_params(target, self.center_offset)
+            loss = self.loss_fn(gp, gt, fun=self.fun, tau=self.tau,
+                                alpha=self.alpha, **fkwargs)
+            return self.loss_weight * weight_reduce_loss(
+                loss, weight, reduction, avg_factor)
 
         pred = pred.reshape(-1, pred.shape[-1])
         target = target.reshape(-1, target.shape[-1])

@@ -317,3 +317,48 @@ def test_pvrcnn_learns():
     gt_ctrs = np.asarray(batch['gt_bboxes'][bi][:2, :2])
     d = np.linalg.norm(gt_ctrs - boxes[bi, di, :2][None], axis=-1).min()
     assert d < 2.0, (d, boxes[bi, di], gt_ctrs)
+
+
+def test_rpn_class_agnostic_proposals():
+    """get_proposals (PartA2RPNHead semantics) must suppress overlapping
+    boxes ACROSS classes, unlike get_bboxes' per-class NMS."""
+    from mmdet3d_gaussian_tpu.engine.detector import KITTI_3CLASS_HEAD
+    from mmdet3d_gaussian_tpu.models.dense_heads.anchor3d_head import \
+        GDAnchor3DHead
+
+    hc = dict(KITTI_3CLASS_HEAD)
+    hc['anchor_generator'] = dict(
+        ranges=[[0., 0., -1., 8., 8., -1.]] * 3,
+        sizes=[[3.9, 1.6, 1.56]] * 3, rotations=[0.0, 1.57])
+    hc['test_cfg'] = dict(use_rotate_nms=True, nms_thr=0.3, score_thr=0.0,
+                          nms_pre=64, max_num=8)
+    head = GDAnchor3DHead(**hc)
+    anchors = head.anchors_for((2, 2))        # (2, 2, 3, 2, 7)
+    h, w, s, r, _ = anchors.shape
+    a = s * r
+    # logits: one cell strongly predicts class 0 AND class 1 on two anchors
+    # at the same location -> same decoded box, different argmax class
+    cls = np.full((h, w, a * 3), -10.0, np.float32)
+    cls[0, 0, 0 * 3 + 0] = 6.0     # anchor 0 -> class 0, score ~1.0
+    cls[0, 0, 2 * 3 + 1] = 4.0     # anchor 2 (same cell) -> class 1
+    bbox = np.zeros((h, w, a * 7), np.float32)   # zero deltas: box == anchor
+    dirp = np.zeros((h, w, a * 2), np.float32)
+
+    boxes, scores, labels, valid = jax.jit(
+        lambda c, b, d: head.get_proposals(c, b, d, anchors))(
+        jnp.asarray(cls), jnp.asarray(bbox), jnp.asarray(dirp))
+    v = np.asarray(valid)
+    lab = np.asarray(labels)[v]
+    sc = np.asarray(scores)[v]
+    # class-agnostic NMS: the class-1 anchor at the same spot must be gone
+    assert (sc > 0.9).sum() == 1
+    top = np.asarray(labels)[np.argmax(np.asarray(scores))]
+    assert top == 0
+    assert not ((lab == 1) & (sc > 0.5)).any()
+
+    # per-class NMS (get_bboxes) keeps BOTH
+    b2, s2, l2, v2 = jax.jit(
+        lambda c, b, d: head.get_bboxes(c, b, d, anchors))(
+        jnp.asarray(cls), jnp.asarray(bbox), jnp.asarray(dirp))
+    kept = np.asarray(l2)[np.asarray(v2) & (np.asarray(s2) > 0.5)]
+    assert set(kept.tolist()) == {0, 1}

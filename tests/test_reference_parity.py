@@ -159,7 +159,7 @@ def test_preprocess_matches_reference(ref_mod):
     xyz_t, R_t, S_t, Sl_t = ref_mod.preprocess(
         torch.tensor(b, dtype=torch.float64), (0, 0, 0.5))
     gp = gaussian_params(jnp.asarray(b), (0., 0., 0.5))
-    xy = np.asarray(gp['xy'])
+    xy = np.stack([np.asarray(gp['x']), np.asarray(gp['y'])], -1)
     np.testing.assert_allclose(xy, xyz_t.numpy()[:, :2], rtol=1e-5)
     np.testing.assert_allclose(np.asarray(gp['z']), xyz_t.numpy()[:, 2],
                                rtol=1e-5)
