@@ -111,17 +111,19 @@ def bev_scatter(voxel_feats, coords, batch_size: int, nx: int, ny: int,
     iy = coords[:, 2]
     valid = ((b >= 0) & (b < batch_size) & (ix >= 0) & (ix < nx)
              & (iy >= 0) & (iy < ny))
-    # invalid rows: zero features into cell 0 — avoids a trash row whose
-    # fwd slice + bwd pad cost ~2.6 ms/step at KITTI b4.  NOTE: cell 0 is
-    # the canvas MAX under `indices_sorted` ordering only if invalid rows
-    # sort last, so keep them routed to the last cell instead.
-    last = batch_size * ny * nx - 1
-    lin = jnp.where(valid, (b * ny + iy) * nx + ix, last)
+    # Invalid rows: zero their features and route them to a trash row one
+    # past the canvas.  Measured on v5e (64k voxels -> 4x432x496x64): the
+    # trash-row scatter runs at 1.2 ms; routing invalids into the LAST REAL
+    # cell instead (num_segments == ncell exactly) de-specializes XLA's
+    # sorted-segment-sum lowering to a 12 ms serialized scatter.  Zeroing
+    # the features is semantically redundant given the dropped row but
+    # measured faster than scattering live values (1.2 vs 1.6 ms).
+    lin = jnp.where(valid, (b * ny + iy) * nx + ix, batch_size * ny * nx)
     feats = jnp.where(valid[:, None], voxel_feats, 0)
     canvas = jax.ops.segment_sum(
-        feats, lin, num_segments=batch_size * ny * nx,
+        feats, lin, num_segments=batch_size * ny * nx + 1,
         indices_are_sorted=indices_sorted)
-    return canvas.reshape(batch_size, ny, nx, voxel_feats.shape[-1])
+    return canvas[:-1].reshape(batch_size, ny, nx, voxel_feats.shape[-1])
 
 
 def bev_gather(canvas, coords):
