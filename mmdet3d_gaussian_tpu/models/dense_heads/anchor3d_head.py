@@ -330,12 +330,15 @@ class GDAnchor3DHead:
         boxes_k = boxes[topi]
 
         out_boxes, out_scores, out_labels, out_valid = [], [], [], []
-        per_cls = max_num  # keep max_num candidates per class before merge
+        # All nms_pre candidates enter each class's NMS (the reference's
+        # score-threshold-then-NMS flow keeps everything above score_thr;
+        # capping at max_num*2 silently truncated at nuScenes-style
+        # max_per_img settings).  The O(K^2) suppression sweep is cheap at
+        # K = nms_pre (full 1024-box NMS ~0.04 ms on v5e).
         for cls_id in range(c):
             s = scores_k[:, cls_id]
             valid = s > score_thr
-            s_sorted, idx = jax.lax.top_k(jnp.where(valid, s, -1.0),
-                                          min(per_cls * 2, nms_pre))
+            s_sorted, idx = jax.lax.top_k(jnp.where(valid, s, -1.0), nms_pre)
             b_sorted = boxes_k[idx]
             v_sorted = s_sorted > score_thr
             bev = jnp.stack([b_sorted[:, 0], b_sorted[:, 1], b_sorted[:, 3],

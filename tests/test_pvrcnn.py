@@ -362,3 +362,43 @@ def test_rpn_class_agnostic_proposals():
         jnp.asarray(cls), jnp.asarray(bbox), jnp.asarray(dirp))
     kept = np.asarray(l2)[np.asarray(v2) & (np.asarray(s2) > 0.5)]
     assert set(kept.tolist()) == {0, 1}
+
+
+def test_get_bboxes_no_candidate_truncation():
+    """All nms_pre candidates must enter per-class NMS: a lower-ranked
+    detection hidden behind many duplicates of a stronger object must
+    survive (the old min(max_num*2, nms_pre) cap dropped it)."""
+    from mmdet3d_gaussian_tpu.engine.detector import KITTI_3CLASS_HEAD
+    from mmdet3d_gaussian_tpu.models.dense_heads.anchor3d_head import \
+        GDAnchor3DHead
+
+    hc = dict(KITTI_3CLASS_HEAD)
+    hc['num_classes'] = 1
+    hc['anchor_generator'] = dict(
+        ranges=[[0., 0., -1., 40., 4., -1.]],
+        sizes=[[3.9, 1.6, 1.56]], rotations=[0.0])
+    hc['assigners'] = [dict(pos_iou_thr=0.5, neg_iou_thr=0.35)]
+    hc['test_cfg'] = dict(use_rotate_nms=True, nms_thr=0.3, score_thr=0.05,
+                          nms_pre=16, max_num=2)
+    head = GDAnchor3DHead(**hc)
+    anchors = head.anchors_for((1, 10))     # (1, 10, 1, 1, 7): row of anchors
+    h, w = 1, 10
+    cls = np.full((h, w, 1), -10.0, np.float32)
+    bbox = np.zeros((h, w, 7), np.float32)
+    # anchors 0..5 all shifted onto the SAME spot (x=0 cell), high scores
+    for i in range(6):
+        cls[0, i, 0] = 5.0 - 0.1 * i
+        bbox[0, i, 0] = (anchors[0, 0, 0, 0, 0] - anchors[0, i, 0, 0, 0]) \
+            / np.hypot(anchors[0, i, 0, 0, 3], anchors[0, i, 0, 0, 4])
+    # anchor 9: a separate weaker object, rank 7 by score
+    cls[0, 9, 0] = 1.0
+    dirp = np.zeros((h, w, 2), np.float32)
+
+    boxes, scores, labels, valid = jax.jit(
+        lambda c, b, d: head.get_bboxes(c, b, d, anchors))(
+        jnp.asarray(cls), jnp.asarray(bbox), jnp.asarray(dirp))
+    v = np.asarray(valid)
+    kept_x = np.sort(np.round(np.asarray(boxes)[v, 0], 1))
+    # two kept detections: the merged strong object and the weak one
+    assert v.sum() == 2, (v.sum(), np.asarray(scores))
+    assert kept_x[-1] > 30.0  # the far weak object survived
