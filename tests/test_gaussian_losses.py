@@ -158,3 +158,40 @@ def test_sqrt_boundary_grad_finite():
         g = np.asarray(jax.grad(f)(boxes))
         assert np.isfinite(g).all(), loss_type
         np.testing.assert_allclose(g[4:], 0.0, err_msg=loss_type)
+
+
+def test_gdloss_parts_path_matches_array_path():
+    """The component-plane input form (used by the anchor head's fused loss
+    layout) must agree with the (N, 7) array form, values AND grads."""
+    import jax
+    import jax.numpy as jnp
+    from mmdet3d_gaussian_tpu.models.losses.gaussian import GDLoss
+
+    rng = np.random.RandomState(3)
+    pred = rng.randn(2, 5, 4, 7).astype(np.float32)
+    pred[..., 3:6] = np.abs(pred[..., 3:6]) + 0.5
+    tgt = pred + 0.1 * rng.randn(*pred.shape).astype(np.float32)
+    tgt[..., 3:6] = np.abs(tgt[..., 3:6]) + 0.5
+    w = (rng.rand(2, 5, 4) > 0.3).astype(np.float32)
+
+    for loss_type, fun in (('kld3d', 'log1p'), ('gwd3d', 'log1p'),
+                           ('kfiou3d', 'expm1')):
+        loss = GDLoss(loss_type, fun=fun, tau=1.0 if fun == 'log1p' else 0.0,
+                      loss_weight=3.0)
+
+        def arr(p):
+            return loss(p.reshape(-1, 7), jnp.asarray(tgt).reshape(-1, 7),
+                        weight=jnp.asarray(w).reshape(-1, 1)
+                        * jnp.ones((1, 7)), avg_factor=10.0)
+
+        def parts(p):
+            pp = tuple(p[..., i] for i in range(7))
+            tp = tuple(jnp.asarray(tgt)[..., i] for i in range(7))
+            return loss(pp, tp, weight=jnp.asarray(w), avg_factor=10.0)
+
+        va, ga = jax.value_and_grad(arr)(jnp.asarray(pred))
+        vp, gp = jax.value_and_grad(parts)(jnp.asarray(pred))
+        np.testing.assert_allclose(float(va), float(vp), rtol=1e-5,
+                                   err_msg=loss_type)
+        np.testing.assert_allclose(np.asarray(ga), np.asarray(gp),
+                                   rtol=1e-4, atol=1e-6, err_msg=loss_type)
