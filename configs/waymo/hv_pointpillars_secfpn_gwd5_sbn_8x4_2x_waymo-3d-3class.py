@@ -33,7 +33,7 @@ head = dict(
                   loss_weight=1.0),
     loss_bbox=dict(type='SmoothL1Loss', beta=1.0 / 9.0, loss_weight=2.0),
     loss_decoded_bbox=dict(type='GDLoss', loss_type='gwd3d',
-                           center_offset=(0, 0, 0.5), fun='log1p', tau=1.0,
+                           center_offset=(0, 0, 0.5), fun='log1p', tau=0.0,
                            loss_weight=5.0),
     loss_dir=dict(type='CrossEntropyLoss', use_sigmoid=False,
                   loss_weight=0.2),

@@ -31,3 +31,26 @@ def test_config_loads(path):
 
 def test_config_count():
     assert len(CONFIGS) >= 12, CONFIGS
+
+
+def test_car_config_builds_detector():
+    from mmdet3d_gaussian_tpu.engine.detector import PointPillarsDetector
+    cfg = Config.fromfile(osp.join(
+        ROOT, 'kitti', 'hv_pointpillars_secfpn_12x4_160e_kitti-3d-car.py'))
+    det = PointPillarsDetector(model_cfg=dict(cfg.model),
+                               head_cfg=dict(cfg.head))
+    assert det.head.num_classes == 1
+    h, w = det.featmap_size
+    assert det.anchors.shape == (h, w, 1, 2, 7)
+    assert float(det.anchors[0, 0, 0, 0, 3]) == pytest.approx(3.9)
+
+
+def test_pvrcnn_config_builds_detector():
+    from mmdet3d_gaussian_tpu.engine.pvrcnn import PVRCNNDetector
+    cfg = Config.fromfile(osp.join(
+        ROOT, 'kitti', 'hv_pvrcnn_secfpn_4x4_80e_kitti-3d-3class.py'))
+    mcfg = dict(cfg.model)
+    assert mcfg.pop('type') == 'PVRCNN'
+    det = PVRCNNDetector(model_cfg=mcfg, rpn_head_cfg=dict(cfg.head))
+    assert det.rpn_head.num_classes == 3
+    assert det.cfg['num_proposals'] == 128

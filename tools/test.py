@@ -66,17 +66,25 @@ def main():
             opts[k] = v
         cfg.merge_from_dict(opts)
 
-    det_cls = (CenterPointDetector
-               if (cfg.get('model') or {}).get('head_type') == 'center'
-               else PointPillarsDetector)
     model_cfg = dict(cfg.get('model') or {})
+    mtype = model_cfg.pop('type', None)
     if args.bf16:
         # the reference wraps the model with mmcv fp16; here bf16 is a
         # compute-dtype switch.  fuse-conv-bn has no TPU analogue: XLA
         # folds inference-mode BN affine math into the convs at compile
         # time, so there is nothing to fuse by hand.
         model_cfg['compute_dtype'] = 'bfloat16'
-    det = det_cls(model_cfg=model_cfg, head_cfg=cfg.get('head'))
+    if mtype == 'PVRCNN':
+        from mmdet3d_gaussian_tpu.engine.pvrcnn import PVRCNNDetector
+        model_cfg.pop('compute_dtype', None)   # PVRCNN: f32-only stack
+        det = PVRCNNDetector(model_cfg=model_cfg,
+                             rpn_head_cfg=cfg.get('head'))
+    elif model_cfg.get('head_type') == 'center':
+        det = CenterPointDetector(model_cfg=model_cfg,
+                                  head_cfg=cfg.get('head'))
+    else:
+        det = PointPillarsDetector(model_cfg=model_cfg,
+                                   head_cfg=cfg.get('head'))
     ds, make_iter = build_dataloader(cfg, 'val')
 
     first = next(make_iter(0))

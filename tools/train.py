@@ -74,10 +74,15 @@ def main():
                                      os.path.basename(args.config))[0]))
     os.makedirs(work_dir, exist_ok=True)
 
-    det_cls = (CenterPointDetector
-               if (cfg.get('model') or {}).get('head_type') == 'center'
-               else PointPillarsDetector)
-    det = det_cls(model_cfg=cfg.get('model'), head_cfg=cfg.get('head'))
+    mcfg = dict(cfg.get('model') or {})
+    mtype = mcfg.pop('type', None)
+    if mtype == 'PVRCNN':
+        from mmdet3d_gaussian_tpu.engine.pvrcnn import PVRCNNDetector
+        det = PVRCNNDetector(model_cfg=mcfg, rpn_head_cfg=cfg.get('head'))
+    elif mcfg.get('head_type') == 'center':
+        det = CenterPointDetector(model_cfg=mcfg, head_cfg=cfg.get('head'))
+    else:
+        det = PointPillarsDetector(model_cfg=mcfg, head_cfg=cfg.get('head'))
     run_training(det, cfg, work_dir, seed=args.seed,
                  max_steps=args.max_steps, resume_from=args.resume_from,
                  eval_interval=args.eval_interval,
