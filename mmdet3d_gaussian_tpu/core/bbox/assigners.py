@@ -20,6 +20,7 @@ from typing import NamedTuple, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ...registry import BBOX_ASSIGNERS
 from .structures import iou_aligned_2d, nearest_bev, points_in_boxes_bev
@@ -97,6 +98,65 @@ class MaxIoUAssigner:
         labels = jnp.where(assigned > 0, gathered, -1)
         return AssignResult(assigned_gt=assigned, max_overlaps=max_ov,
                             labels=labels.astype(jnp.int32))
+
+
+def assign_per_class_vectorized(anchors_cls, gt_bboxes, gt_labels, gt_valid,
+                                assigners) -> AssignResult:
+    """MaxIoU assignment with one assigner per anchor-class, vectorized.
+
+    Replaces the per-class python loop (one ``MaxIoUAssigner.assign`` per
+    class + stack/reshape of the per-class results — the stacked
+    ``(H*W, S, R)`` relayout alone cost ~3.3 ms/step at Waymo scale) with a
+    single ``(G, A)`` IoU pass: gt g is only eligible for anchors of class
+    ``gt_labels[g]`` (the ``assign_per_class`` semantics of the reference
+    configs), and the per-class thresholds become per-ANCHOR constant
+    vectors, so one masked max/argmax produces the full assignment in the
+    anchors' natural (hw, s, r) order.
+
+    anchors_cls: ``(HW, S, R, 7)``; assigners: length-S sequence of
+    :class:`MaxIoUAssigner` (their thresholds are read, their ``assign`` is
+    not called).
+    """
+    hw, s, r, _ = anchors_cls.shape
+    flat = anchors_cls.reshape(-1, 7)
+    a = hw * s * r
+    # trace-time constants (numpy in, numpy out)
+    anchor_cls = np.broadcast_to(np.arange(s, dtype=np.int32)[None, :, None],
+                                 (hw, s, r)).reshape(-1)
+    pos_thr = np.asarray([asn.pos_iou_thr for asn in assigners],
+                         np.float32)[anchor_cls]
+    neg_thr = np.asarray([asn.neg_iou_thr for asn in assigners],
+                         np.float32)[anchor_cls]
+    min_thr = np.asarray([asn.min_pos_iou for asn in assigners],
+                         np.float32)[anchor_cls]
+
+    overlaps = bbox_overlaps_nearest_3d(gt_bboxes, flat)         # (G, A)
+    ok = gt_valid[:, None] & (gt_labels[:, None] == anchor_cls[None, :])
+    overlaps = jnp.where(ok, overlaps, -1.0)
+
+    max_ov = jnp.max(overlaps, axis=0)
+    argmax_ov = jnp.argmax(overlaps, axis=0).astype(jnp.int32)
+    # anchors of a class with no gt have max_ov == -1 -> negative, matching
+    # the per-class assigner's no-gt branch
+    assigned = jnp.full((a,), -1, jnp.int32)
+    assigned = jnp.where(max_ov < neg_thr, 0, assigned)
+    assigned = jnp.where(max_ov >= pos_thr, argmax_ov + 1, assigned)
+
+    # low-quality matches (gt_max_assign_all)
+    gt_max = jnp.max(overlaps, axis=1, keepdims=True)            # (G, 1)
+    eligible = ((overlaps == gt_max) & (gt_max >= min_thr[None, :])
+                & ok)
+    g_ids = jnp.arange(overlaps.shape[0], dtype=jnp.int32)[:, None] + 1
+    lq = jnp.max(jnp.where(eligible, g_ids, 0), axis=0)
+    assigned = jnp.where(lq > 0, lq, assigned)
+
+    safe_gt = jnp.clip(assigned - 1, 0)
+    oh = jax.nn.one_hot(safe_gt, gt_labels.shape[0], dtype=jnp.float32)
+    gathered = jnp.sum(oh * gt_labels[None, :].astype(jnp.float32),
+                       axis=-1).astype(jnp.int32)
+    labels = jnp.where(assigned > 0, gathered, -1)
+    return AssignResult(assigned_gt=assigned, max_overlaps=max_ov,
+                        labels=labels.astype(jnp.int32))
 
 
 @BBOX_ASSIGNERS.register_module()

@@ -26,7 +26,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ...core.anchor import Anchor3DRangeGenerator
-from ...core.bbox.assigners import MaxIoUAssigner
+from ...core.bbox.assigners import (MaxIoUAssigner,
+                                    assign_per_class_vectorized)
 from ...core.bbox.coders import (DeltaXYZWLHRBBoxCoder, add_sin_difference,
                                  get_direction_target)
 from ...core.bbox.structures import limit_period
@@ -121,19 +122,14 @@ class GDAnchor3DHead:
         h, w, s, r, _ = anchors.shape
         flat = anchors.reshape(-1, 7)
         if self.assign_per_class and len(self.assigners) == s:
-            per_class = []
-            anc_cls = anchors.reshape(h * w, s, r, 7)
-            for c, assigner in enumerate(self.assigners):
-                anc = anc_cls[:, c, :, :].reshape(-1, 7)
-                mask_c = gt_valid & (gt_labels == c)
-                res = assigner.assign(anc, gt_bboxes, gt_labels, mask_c)
-                per_class.append(res)
-            assigned = jnp.stack(
-                [p.assigned_gt.reshape(h * w, r) for p in per_class],
-                axis=1).reshape(-1)
-            labels_a = jnp.stack(
-                [p.labels.reshape(h * w, r) for p in per_class],
-                axis=1).reshape(-1)
+            # single vectorized (G, A) pass; per-class thresholds become
+            # per-anchor constant vectors (see assign_per_class_vectorized
+            # — the per-class python loop's stacked relayout cost ~3.3
+            # ms/step at Waymo scale)
+            res = assign_per_class_vectorized(
+                anchors.reshape(h * w, s, r, 7), gt_bboxes, gt_labels,
+                gt_valid, self.assigners)
+            assigned, labels_a = res.assigned_gt, res.labels
         else:
             res = self.assigners[0].assign(flat, gt_bboxes, gt_labels,
                                            gt_valid)

@@ -87,3 +87,51 @@ def test_simota_no_gt():
                    jnp.zeros((1, 7)), jnp.zeros(1, jnp.int32),
                    jnp.zeros(1, bool))
     assert np.asarray(res.assigned_gt)[0] == 0
+
+
+def test_assign_per_class_vectorized_matches_loop():
+    """The vectorized multi-class assignment must equal the per-class
+    MaxIoUAssigner loop it replaced (stack in (hw, s, r) order)."""
+    import jax.numpy as jnp
+    from mmdet3d_gaussian_tpu.core.bbox.assigners import (
+        MaxIoUAssigner, assign_per_class_vectorized)
+
+    rng = np.random.RandomState(11)
+    hw, s, r, g = 40, 3, 2, 12
+    anchors = np.zeros((hw, s, r, 7), np.float32)
+    anchors[..., 0] = rng.uniform(0, 30, (hw, 1, 1))
+    anchors[..., 1] = rng.uniform(-10, 10, (hw, 1, 1))
+    anchors[..., 3:6] = np.asarray([[3.9, 1.6, 1.56]])
+    anchors[..., 6] = np.asarray([0.0, 1.57])[None, None, :]
+    gt = np.zeros((g, 7), np.float32)
+    gt[:, 0] = rng.uniform(0, 30, g)
+    gt[:, 1] = rng.uniform(-10, 10, g)
+    gt[:, 3:6] = rng.uniform([1.5, 0.5, 1.3], [4.5, 2.0, 1.8], (g, 3))
+    gt[:, 6] = rng.uniform(-np.pi, np.pi, g)
+    labels = rng.randint(0, s, g).astype(np.int32)
+    valid = rng.rand(g) > 0.2
+
+    assigners = [MaxIoUAssigner(0.5, 0.35, 0.35),
+                 MaxIoUAssigner(0.5, 0.35, 0.35),
+                 MaxIoUAssigner(0.6, 0.45, 0.45)]
+
+    res_v = assign_per_class_vectorized(
+        jnp.asarray(anchors), jnp.asarray(gt), jnp.asarray(labels),
+        jnp.asarray(valid), assigners)
+
+    per = []
+    for c, asn in enumerate(assigners):
+        anc = anchors[:, c].reshape(-1, 7)
+        mask_c = jnp.asarray(valid & (labels == c))
+        per.append(asn.assign(jnp.asarray(anc), jnp.asarray(gt),
+                              jnp.asarray(labels), mask_c))
+    assigned_loop = np.stack(
+        [np.asarray(p.assigned_gt).reshape(hw, r) for p in per],
+        axis=1).reshape(-1)
+    labels_loop = np.stack(
+        [np.asarray(p.labels).reshape(hw, r) for p in per],
+        axis=1).reshape(-1)
+
+    np.testing.assert_array_equal(np.asarray(res_v.assigned_gt),
+                                  assigned_loop)
+    np.testing.assert_array_equal(np.asarray(res_v.labels), labels_loop)
