@@ -86,6 +86,67 @@ CANVAS_KEY_ORDER = (0, 2, 1, 3)   # (b, iy, ix, iz): build_scatter key_order
                                   # order -> sorted BEV scatter indices
 
 
+from functools import partial
+
+# BEV splat forward implementation: 'auto' uses the Pallas kernel on TPU
+# (canvas values bf16-rounded — the precision XLA's conv lowering feeds the
+# MXU from this canvas anyway; see ops/pallas/bev_splat_kernel.py), the XLA
+# segment-sum elsewhere.  'xla' forces the bit-exact f32 segment-sum path.
+# Default stays 'xla' until the bf16 kernel is e2e-validated on hardware.
+SPLAT_IMPL = 'xla'   # 'auto' | 'xla' | 'pallas'
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _splat(voxel_feats, lin, ncell: int, indices_sorted: bool):
+    """(V, C) rows -> (ncell, C) canvas; rows with lin >= ncell dropped.
+
+    Forward dispatch:
+      * TPU + sorted-unique rows: Pallas window-DMA one-hot-matmul splat
+        (``ops/pallas/bev_splat_kernel.py``) — no trash row, no slice;
+        0.63 ms vs 1.97 ms on v5e at KITTI b4 scale.
+      * otherwise: sorted segment-sum into ``ncell + 1`` rows (trash row
+        sliced off).  Measured on v5e (64k voxels -> 4x432x496x64): the
+        trash-row scatter runs at 1.2 ms; routing invalids into the LAST
+        REAL cell instead (num_segments == ncell exactly) de-specializes
+        XLA's sorted-segment-sum lowering to a 12 ms serialized scatter,
+        and ``.at[].add(mode='drop')`` hits the same slow path (11.8 ms).
+    """
+    use_pallas = (indices_sorted and voxel_feats.shape[0] >= 512
+                  and voxel_feats.shape[1] <= 124 and ncell < (1 << 24)
+                  and SPLAT_IMPL != 'xla'
+                  and (SPLAT_IMPL == 'pallas'
+                       or jax.default_backend() == 'tpu'))
+    if use_pallas:
+        # bf16 canvas: the values are bf16-rounded by the kernel's MXU
+        # matmul either way, and the canvas consumers (backbone convs)
+        # read bf16 operands even from an f32 canvas — see kernel module
+        # docstring.  Halves canvas HBM traffic.
+        from .pallas.bev_splat_kernel import bev_splat_pallas
+        return bev_splat_pallas(voxel_feats, lin, ncell)
+    feats = jnp.where((lin < ncell)[:, None], voxel_feats, 0)
+    canvas = jax.ops.segment_sum(feats, lin, num_segments=ncell + 1,
+                                 indices_are_sorted=indices_sorted)
+    return canvas[:-1]
+
+
+def _splat_fwd(voxel_feats, lin, ncell, indices_sorted):
+    res = (lin, jnp.zeros((0,), voxel_feats.dtype))
+    return _splat(voxel_feats, lin, ncell, indices_sorted), res
+
+
+def _splat_bwd(ncell, indices_sorted, res, g):
+    # Gather with out-of-bounds fill replaces segment_sum's natural VJP,
+    # which pads the canvas gradient back to ncell + 1 rows first — a full
+    # 219 MB copy at KITTI b4 scale (~1.3 ms/step on v5e).
+    lin, proto = res
+    gi = jnp.take(g, lin, axis=0, mode='fill', fill_value=0,
+                  indices_are_sorted=indices_sorted, unique_indices=False)
+    return gi.astype(proto.dtype), None
+
+
+_splat.defvjp(_splat_fwd, _splat_bwd)
+
+
 def bev_scatter(voxel_feats, coords, batch_size: int, nx: int, ny: int,
                 indices_sorted: bool = False):
     """Scatter per-voxel features onto a dense NHWC BEV canvas.
@@ -102,28 +163,19 @@ def bev_scatter(voxel_feats, coords, batch_size: int, nx: int, ny: int,
         indices_sorted: pass True when the voxel rows are compacted in
             (b, iy, ix) canvas raster order (``build_scatter`` with
             ``key_order=CANVAS_KEY_ORDER``; -1 tail rows map to the trash
-            row which sorts last) — the sorted segment-sum splat is 3.2x
-            faster than the unsorted scatter-add on TPU (5.8 -> 1.8 ms at
-            KITTI b4 scale).
+            row which sorts last) — the sorted splat is >3x faster than
+            the unsorted scatter-add on TPU, and unlocks the Pallas
+            window-DMA kernel (see :func:`_splat`).
     """
     b = coords[:, 0]
     ix = coords[:, 1]
     iy = coords[:, 2]
     valid = ((b >= 0) & (b < batch_size) & (ix >= 0) & (ix < nx)
              & (iy >= 0) & (iy < ny))
-    # Invalid rows: zero their features and route them to a trash row one
-    # past the canvas.  Measured on v5e (64k voxels -> 4x432x496x64): the
-    # trash-row scatter runs at 1.2 ms; routing invalids into the LAST REAL
-    # cell instead (num_segments == ncell exactly) de-specializes XLA's
-    # sorted-segment-sum lowering to a 12 ms serialized scatter.  Zeroing
-    # the features is semantically redundant given the dropped row but
-    # measured faster than scattering live values (1.2 vs 1.6 ms).
-    lin = jnp.where(valid, (b * ny + iy) * nx + ix, batch_size * ny * nx)
-    feats = jnp.where(valid[:, None], voxel_feats, 0)
-    canvas = jax.ops.segment_sum(
-        feats, lin, num_segments=batch_size * ny * nx + 1,
-        indices_are_sorted=indices_sorted)
-    return canvas[:-1].reshape(batch_size, ny, nx, voxel_feats.shape[-1])
+    ncell = batch_size * ny * nx
+    lin = jnp.where(valid, (b * ny + iy) * nx + ix, ncell)
+    canvas = _splat(voxel_feats, lin, ncell, indices_sorted)
+    return canvas.reshape(batch_size, ny, nx, voxel_feats.shape[-1])
 
 
 def bev_gather(canvas, coords):
