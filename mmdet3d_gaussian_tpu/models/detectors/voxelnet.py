@@ -117,9 +117,14 @@ class PointPillarsNet(nn.Module):
         else:
             scatter = build_scatter(coords4, spatial, max_voxels,
                                     key_order=CANVAS_KEY_ORDER)
+            # permute points into voxel-sorted order once: every segment
+            # reduce / mapback in the encoder then runs on XLA's sorted
+            # lowering (Scatter.sorted_view); voxel-level outputs identical
+            flat_sorted = jnp.take(flat, scatter.sort_order, axis=0)
             encoder = DynamicPillarFeatureNet(axis_name=self.axis_name,
                                               name='voxel_encoder', **enc_cfg)
-            pillar_feats = encoder(flat, scatter, train=train)
+            pillar_feats = encoder(flat_sorted, scatter.sorted_view(),
+                                   train=train)
             coords_v = scatter.voxel_coords
 
         canvas = bev_scatter(pillar_feats, coords_v, b, nx, ny,

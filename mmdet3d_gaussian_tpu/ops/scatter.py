@@ -72,21 +72,44 @@ class Scatter(NamedTuple):
     num_overflow: jax.Array = 0  # () int32 — live voxels beyond capacity
                                  # (rerouted to the trash row); telemetry
                                  # for sparse-conv out_capacity sizing
+    ids_sorted: bool = False     # static: point_voxel_ids ascending (points
+                                 # permuted by sort_order) — unlocks XLA's
+                                 # sorted segment lowering (see sorted_view)
+
+    def sorted_view(self) -> 'Scatter':
+        """Scatter over the voxel-sorted point permutation.
+
+        Callers permute their point data once (``data[scatter.sort_order]``)
+        and use the returned view for every reduce/mapback: segment ids are
+        then ascending, so XLA lowers segment ops on the fast sorted path
+        instead of the serialized general scatter (same class of win as the
+        sorted BEV splat — see ``ops/voxelize.py::_splat``).  All per-point
+        ops in between (MLP/BN/masks) are permutation-invariant; voxel-level
+        outputs are identical.  The tie-break of the max backward ("lowest
+        point index wins", reference scatter_points_cuda.cu:155-158) is
+        preserved: argsort is stable, so within a voxel the sorted order IS
+        ascending original point index.
+        """
+        n = self.sort_order.shape[0]
+        ids = jnp.take(self.point_voxel_ids, self.sort_order)
+        return self._replace(point_voxel_ids=ids,
+                             sort_order=jnp.arange(n, dtype=jnp.int32),
+                             ids_sorted=True)
 
     # -- reductions -------------------------------------------------------
     def reduce(self, point_feats, op: str = 'max'):
         """Per-voxel reduction of point features -> (max_voxels, C)."""
         if op == 'sum':
             return _segment_sum_nd(point_feats, self.point_voxel_ids,
-                                   self.max_voxels)
+                                   self.max_voxels, self.ids_sorted)
         if op == 'mean':
             s = _segment_sum_nd(point_feats, self.point_voxel_ids,
-                                self.max_voxels)
+                                self.max_voxels, self.ids_sorted)
             cnt = jnp.maximum(self.voxel_counts, 1).astype(point_feats.dtype)
             return s / cnt[:, None]
         if op == 'max':
             return segment_max_lowtie(point_feats, self.point_voxel_ids,
-                                      self.max_voxels)
+                                      self.max_voxels, self.ids_sorted)
         raise ValueError(f'unknown reduce op {op!r}')
 
     def mapback(self, voxel_feats):
@@ -94,7 +117,8 @@ class Scatter(NamedTuple):
         read zeros (reference ``mapback``, scatter.py:127-131)."""
         padded = jnp.concatenate(
             [voxel_feats, jnp.zeros_like(voxel_feats[:1])], axis=0)
-        return padded[self.point_voxel_ids]
+        return jnp.take(padded, self.point_voxel_ids, axis=0,
+                        indices_are_sorted=self.ids_sorted)
 
     def reduce_mapback(self, point_feats, op: str = 'mean'):
         return self.mapback(self.reduce(point_feats, op))
@@ -108,10 +132,11 @@ class Scatter(NamedTuple):
         return self.point_voxel_ids < self.max_voxels
 
 
-def _segment_sum_nd(data, segment_ids, num_segments):
+def _segment_sum_nd(data, segment_ids, num_segments, ids_sorted=False):
     """segment_sum with a trailing trash segment stripped."""
     out = jax.ops.segment_sum(data, segment_ids,
-                              num_segments=num_segments + 1)
+                              num_segments=num_segments + 1,
+                              indices_are_sorted=ids_sorted)
     return out[:num_segments]
 
 
@@ -119,8 +144,9 @@ def _segment_sum_nd(data, segment_ids, num_segments):
 # max reduction with reference tie-break semantics (lowest point index wins
 # the gradient), as a custom VJP.
 # --------------------------------------------------------------------------
-@partial(jax.custom_vjp, nondiff_argnums=(2,))
-def segment_max_lowtie(data, segment_ids, num_segments: int):
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def segment_max_lowtie(data, segment_ids, num_segments: int,
+                       ids_sorted: bool = False):
     """Per-segment max; EMPTY segments yield 0.
 
     Note: the reference CUDA path has no empty voxels at all (it sizes the
@@ -129,30 +155,35 @@ def segment_max_lowtie(data, segment_ids, num_segments: int):
     static-capacity padding, and zeroing them keeps padded rows inert for
     downstream BEV scatter.  Emptiness is detected by segment counts, so a
     genuine +/-inf feature value propagates instead of being masked."""
-    out = jax.ops.segment_max(data, segment_ids, num_segments=num_segments + 1)
+    out = jax.ops.segment_max(data, segment_ids,
+                              num_segments=num_segments + 1,
+                              indices_are_sorted=ids_sorted)
     out = out[:num_segments]
     counts = jax.ops.segment_sum(
         jnp.ones_like(segment_ids, dtype=jnp.int32), segment_ids,
-        num_segments=num_segments + 1)[:num_segments]
+        num_segments=num_segments + 1,
+        indices_are_sorted=ids_sorted)[:num_segments]
     return jnp.where(counts[:, None] > 0, out, 0.0)
 
 
-def _smax_fwd(data, segment_ids, num_segments):
-    out = segment_max_lowtie(data, segment_ids, num_segments)
+def _smax_fwd(data, segment_ids, num_segments, ids_sorted):
+    out = segment_max_lowtie(data, segment_ids, num_segments, ids_sorted)
     # winner per (segment, channel): the *lowest* point index achieving the
     # max (reference atomicMin traceback, scatter_points_cuda.cu:155-158).
     n = data.shape[0]
-    gathered = jnp.concatenate([out, jnp.zeros_like(out[:1])],
-                               axis=0)[segment_ids]
+    gathered = jnp.take(
+        jnp.concatenate([out, jnp.zeros_like(out[:1])], axis=0),
+        segment_ids, axis=0, indices_are_sorted=ids_sorted)
     is_max = (data == gathered) & (segment_ids < num_segments)[:, None]
     idx = jnp.arange(n, dtype=jnp.int32)[:, None]
     cand = jnp.where(is_max, idx, n)  # n = sentinel "no winner"
     winner = jax.ops.segment_min(cand, segment_ids,
-                                 num_segments=num_segments + 1)[:num_segments]
+                                 num_segments=num_segments + 1,
+                                 indices_are_sorted=ids_sorted)[:num_segments]
     return out, (winner, n, data.shape, segment_ids)
 
 
-def _smax_bwd(num_segments, res, g):
+def _smax_bwd(num_segments, ids_sorted, res, g):
     winner, n, data_shape, segment_ids = res
     # Each point belongs to exactly one segment, so instead of scattering
     # g[v, c] to point winner[v, c] (an element-level scatter-add that
@@ -163,8 +194,10 @@ def _smax_bwd(num_segments, res, g):
     w_pad = jnp.concatenate(
         [winner, jnp.full_like(winner[:1], n)], axis=0)
     seg = jnp.minimum(segment_ids, num_segments)
-    g_pt = g_pad[seg]                                  # (N, C)
-    w_pt = w_pad[seg]                                  # (N, C)
+    g_pt = jnp.take(g_pad, seg, axis=0,
+                    indices_are_sorted=ids_sorted)     # (N, C)
+    w_pt = jnp.take(w_pad, seg, axis=0,
+                    indices_are_sorted=ids_sorted)     # (N, C)
     idx = jnp.arange(data_shape[0], dtype=winner.dtype)[:, None]
     dpoints = jnp.where(w_pt == idx, g_pt, 0.0)
     return dpoints, None
@@ -245,15 +278,18 @@ def build_scatter(coords, spatial_shape: Sequence[int],
     point_voxel_ids = jnp.zeros((n,), dtype=jnp.int32).at[order].set(
         seg_sorted.astype(jnp.int32))
 
+    seg_sorted = seg_sorted.astype(jnp.int32)
     ones = jnp.ones((n, 1), dtype=jnp.int32)
-    voxel_counts = _segment_sum_nd(ones, point_voxel_ids, max_voxels)[:, 0]
+    voxel_counts = _segment_sum_nd(ones, seg_sorted, max_voxels,
+                                   ids_sorted=True)[:, 0]
 
-    # representative coords per voxel: min over member coords (identical)
+    # representative coords per voxel: min over member coords (identical),
+    # reduced over the sorted order (XLA's fast sorted-segment path)
     big = jnp.iinfo(jnp.int32).max
-    masked_coords = jnp.where(valid[:, None], coords, big)
+    masked_coords = jnp.where(valid[:, None], coords, big)[order]
     voxel_coords = jax.ops.segment_min(
-        masked_coords, point_voxel_ids,
-        num_segments=max_voxels + 1)[:max_voxels]
+        masked_coords, seg_sorted,
+        num_segments=max_voxels + 1, indices_are_sorted=True)[:max_voxels]
     voxel_coords = jnp.where(voxel_counts[:, None] > 0, voxel_coords, -1)
 
     return Scatter(point_voxel_ids=point_voxel_ids,

@@ -210,3 +210,35 @@ def test_scatter_is_jittable_and_deterministic():
     a = f(jnp.asarray(coords), jnp.asarray(feats))
     b = f(jnp.asarray(coords), jnp.asarray(feats))
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_sorted_view_matches_unsorted():
+    """sorted_view + permuted data must reproduce every reduce/mapback and
+    the max-backward routing of the original (unsorted) Scatter."""
+    coords, feats = make_points(n=300, seed=11)
+    sc = build_scatter(jnp.asarray(coords), (5, 5, 5), max_voxels=96)
+    sv = sc.sorted_view()
+    order = np.asarray(sc.sort_order)
+    f = jnp.asarray(feats)
+    fs = jnp.take(f, sc.sort_order, axis=0)
+
+    assert sv.ids_sorted and not sc.ids_sorted
+    ids_s = np.asarray(sv.point_voxel_ids)
+    assert (np.diff(ids_s) >= 0).all()           # ascending
+
+    for op in ('sum', 'mean', 'max'):
+        np.testing.assert_allclose(np.asarray(sc.reduce(f, op)),
+                                   np.asarray(sv.reduce(fs, op)),
+                                   rtol=1e-6, atol=1e-6)
+
+    vox = sc.reduce(f, 'mean')
+    mb = np.asarray(sc.mapback(vox))
+    mb_s = np.asarray(sv.mapback(vox))
+    np.testing.assert_allclose(mb_s, mb[order], rtol=1e-6)
+
+    # max backward: grads routed to the same ORIGINAL points (tie-break
+    # preserved because argsort is stable)
+    g = jax.grad(lambda x: jnp.sum(sc.reduce(x, 'max') ** 2))(f)
+    g_s = jax.grad(lambda x: jnp.sum(sv.reduce(x, 'max') ** 2))(fs)
+    np.testing.assert_allclose(np.asarray(g_s), np.asarray(g)[order],
+                               rtol=1e-6, atol=1e-6)
