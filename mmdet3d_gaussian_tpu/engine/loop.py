@@ -17,9 +17,14 @@ import numpy as np
 
 
 def build_dataloader(cfg, split: str = 'train'):
-    """Build dataset + iterator of collated numpy batches."""
+    """Build dataset + iterator of collated numpy batches.
+
+    ``data.workers_per_gpu`` (reference DataLoader worker analogue) maps
+    ``dataset[idx]`` over a thread pool; see ``engine/prefetch.py``.
+    """
     from ..registry import DATASETS
     from ..datasets.pipelines import collate_batch
+    from .prefetch import pooled_sample_iterator
 
     data_cfg = dict(cfg.get('data', {}).get(split, {}))
     if not data_cfg:
@@ -28,6 +33,7 @@ def build_dataloader(cfg, split: str = 'train'):
             f"{sorted(cfg.get('data', {}).keys())})")
     ds = DATASETS.build(data_cfg)
     batch_size = int(cfg.get('data', {}).get('samples_per_gpu', 4))
+    workers = int(cfg.get('data', {}).get('workers_per_gpu', 2))
     shuffle = split == 'train'
 
     def iterator(seed: int = 0) -> Iterator[Dict]:
@@ -36,19 +42,9 @@ def build_dataloader(cfg, split: str = 'train'):
         # with dataset.get_ann_info); train shuffles and drops the remainder
         rng = np.random.RandomState(seed)
         order = rng.permutation(len(ds)) if shuffle else range(len(ds))
-        buf = []
-        for idx in order:
-            item = ds[int(idx)]
-            if item is None:
-                continue
-            buf.append(item)
-            if len(buf) == batch_size:
-                yield collate_batch(buf)
-                buf = []
-        if buf and not shuffle:
-            while len(buf) < batch_size:
-                buf.append(buf[-1])
-            yield collate_batch(buf)
+        return pooled_sample_iterator(ds, order, batch_size, collate_batch,
+                                      workers=workers,
+                                      pad_partial=not shuffle)
 
     return ds, iterator
 
@@ -120,11 +116,19 @@ def run_training(det, cfg, work_dir: str, seed: int = 0,
     log_path = os.path.join(work_dir, 'train_log.jsonl')
     step = int(state.step)
     t0 = time.time()
+    from .prefetch import prefetch
+
+    def place(b):
+        # runs in the producer thread: collate output -> sharded device
+        # arrays, so H2D transfer overlaps the device step (shard_batch
+        # builds explicit NamedShardings — no thread-local ambient mesh)
+        b.pop('metas', None)
+        return shard_batch(mesh, b)
+
     with use_mesh(mesh), open(log_path, 'a') as logf:
         for epoch in range(epochs):
-            for batch in make_iter(seed + epoch):
-                batch.pop('metas', None)
-                sb = shard_batch(mesh, batch)
+            for sb in prefetch(make_iter(seed + epoch), depth=2,
+                               place_fn=place):
                 if profile_steps and step == profile_steps[0]:
                     jax.profiler.start_trace(
                         os.path.join(work_dir, 'profile'))
