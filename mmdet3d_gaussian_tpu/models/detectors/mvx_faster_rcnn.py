@@ -17,7 +17,7 @@ import jax.numpy as jnp
 
 from ...registry import MODELS
 from ...ops.scatter import batch_coords, build_scatter, compute_voxel_coords
-from ...ops.voxelize import bev_scatter
+from ...ops.voxelize import CANVAS_KEY_ORDER, bev_scatter
 from ..backbones import SECOND, SECONDFPN
 from ..dense_heads.anchor3d_head import Anchor3DHeadConvs
 from ..img_fusion import ImgBackbone, ImgFPNNeck, PointFusion
@@ -87,16 +87,22 @@ class MVXPillarsNet(nn.Module):
                                - self.point_cloud_range[2])
                               / self.voxel_size[2])))
         scatter = build_scatter(coords4, (b, nx, ny, nz),
-                                self.max_voxels_per_sample * b)
+                                self.max_voxels_per_sample * b,
+                                key_order=CANVAS_KEY_ORDER)
 
         enc_cfg = dict(self.encoder_cfg or {})
         enc_cfg.setdefault('voxel_size', self.voxel_size)
         enc_cfg.setdefault('point_cloud_range', self.point_cloud_range)
         encoder = DynamicPillarFeatureNet(axis_name=self.axis_name,
                                           name='voxel_encoder', **enc_cfg)
-        pillar_feats = encoder(flat, scatter, train=train)
+        # voxel-sorted point order: sorted segment ops in the encoder and a
+        # sorted BEV splat (see ops/scatter.py::Scatter.sorted_view)
+        flat_sorted = jnp.take(flat, scatter.sort_order, axis=0)
+        pillar_feats = encoder(flat_sorted, scatter.sorted_view(),
+                               train=train)
 
-        canvas = bev_scatter(pillar_feats, scatter.voxel_coords, b, nx, ny)
+        canvas = bev_scatter(pillar_feats, scatter.voxel_coords, b, nx, ny,
+                             indices_sorted=True)
         if dt is not None:
             canvas = canvas.astype(dt)
         backbone = SECOND(axis_name=self.axis_name, dtype=dt,
