@@ -131,3 +131,77 @@ def test_model_learns_to_detect():
     assert int(valid.sum()) >= 8, int(valid.sum())
     assert (labels[valid] == 2).all(), labels[valid]
     assert matched >= 2, (matched, total_gt)
+
+
+@pytest.mark.slow
+def test_centerpoint_learns_to_detect():
+    """CenterPoint family learning check (the anchor-free analogue of the
+    PointPillars test above): loss descends and confident detections land
+    on GT cars within BEV IoU 0.3."""
+    from mmdet3d_gaussian_tpu.engine.detector import CenterPointDetector
+
+    model = dict(
+        voxel_size=(0.4, 0.4, 4.0),
+        point_cloud_range=PCR,
+        max_voxels_per_sample=1024,
+        voxelize_mode='dynamic',
+        head_type='center',
+        encoder_cfg=dict(in_channels=4, feat_channels=(32,)),
+        backbone_cfg=dict(in_channels=32, out_channels=(32, 64, 128),
+                          layer_nums=(1, 1, 1), layer_strides=(2, 2, 2)),
+        neck_cfg=dict(in_channels=(32, 64, 128), out_channels=(32, 32, 32),
+                      upsample_strides=(0.5, 1, 2)),
+    )
+    head = dict(
+        tasks=[dict(num_classes=1), dict(num_classes=2)],
+        out_size_factor=4,
+        with_vel=False,
+        code_weights=None,
+        max_objs=16,
+        test_cfg=dict(max_per_img=16, score_threshold=0.1,
+                      nms_type='rotate', nms_thr=0.2, post_max_size=8),
+    )
+    # task split [1, 2]: class 2 (Car) -> task 1, local id 1
+    rng = np.random.RandomState(0)
+    det = CenterPointDetector(model_cfg=model, head_cfg=head)
+    batch0 = make_batch(rng)
+    variables = jax.jit(det.init)(jax.random.PRNGKey(0), batch0)
+    opt = ts.make_optimizer(3e-3, total_steps=600,
+                            target_ratio=(3.0, 1e-2))
+    state = ts.init_state(variables['params'], variables['batch_stats'],
+                          opt)
+    step = jax.jit(ts.make_train_step(
+        lambda v, b, t: det.apply_train(v, b), det.loss, opt))
+
+    first = None
+    for i in range(600):
+        batch = make_batch(rng)
+        state, m = step(state, batch)
+        if i == 0:
+            first = float(m['loss'])
+    last = float(m['loss'])
+    assert np.isfinite(last)
+    assert last < first * 0.5, (first, last)
+
+    variables = {'params': state.params, 'batch_stats': state.batch_stats}
+    test_batch = make_batch(np.random.RandomState(123))
+    boxes, scores, labels, valid = jax.jit(det.predict)(variables,
+                                                        test_batch)
+    boxes, scores = np.asarray(boxes), np.asarray(scores)
+    labels, valid = np.asarray(labels), np.asarray(valid)
+
+    matched, total_gt = 0, 0
+    for i in range(4):
+        gt = np.asarray(test_batch['gt_bboxes'][i])
+        gv = np.asarray(test_batch['gt_valid'][i])
+        gt = gt[gv]
+        total_gt += len(gt)
+        det_i = boxes[i][valid[i]]
+        if len(det_i) == 0:
+            continue
+        iou = iou_bev(det_i[:, :7], gt)
+        matched += int((iou.max(0) >= 0.3).sum())
+
+    assert int(valid.sum()) >= 4, int(valid.sum())
+    assert (labels[valid] == 2).all(), labels[valid]
+    assert matched >= 2, (matched, total_gt)
