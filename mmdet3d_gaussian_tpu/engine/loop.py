@@ -49,12 +49,21 @@ def build_dataloader(cfg, split: str = 'train'):
     return ds, iterator
 
 
-def save_checkpoint(work_dir: str, state, step: int):
+def save_checkpoint(work_dir: str, state, step: int,
+                    meta: Optional[Dict[str, Any]] = None):
+    """Orbax save + a ``meta.json`` sidecar (the reference embeds config
+    text / CLASSES / versions into its checkpoints, tools/train.py:200-210)."""
     import orbax.checkpoint as ocp
     path = os.path.abspath(os.path.join(work_dir, f'ckpt_{step}'))
     ckptr = ocp.StandardCheckpointer()
     ckptr.save(path, state)
     ckptr.wait_until_finished()
+    if meta:
+        # sidecar next to the orbax dir (not inside: orbax validates its
+        # own directory structure on restore; not 'ckpt_*': tools glob that
+        # prefix for restorable checkpoints)
+        with open(os.path.join(work_dir, f'meta_{step}.json'), 'w') as f:
+            json.dump(meta, f, indent=1, default=str)
     return path
 
 
@@ -149,7 +158,13 @@ def run_training(det, cfg, work_dir: str, seed: int = 0,
                     print(f'step {step}: loss={rec["loss"]:.4f}')
                 if step >= total_steps:
                     break
-            save_checkpoint(work_dir, state, step)
+            import jax as _jax
+            meta = dict(step=step, epoch=epoch,
+                        classes=list(getattr(ds, 'CLASSES', []) or []),
+                        jax_version=_jax.__version__,
+                        config=cfg.to_dict() if hasattr(cfg, 'to_dict')
+                        else None)
+            save_checkpoint(work_dir, state, step, meta=meta)
             # training-time evaluation (the reference's evaluation hook,
             # `evaluation = dict(interval=...)` in every config)
             if (eval_interval and (epoch + 1) % eval_interval == 0
