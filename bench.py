@@ -115,6 +115,10 @@ def main():
     bf16 = os.environ.get('BENCH_BF16', '0') == '1'
     mode = os.environ.get('BENCH_MODE', 'train')   # train | infer
     vox = os.environ.get('BENCH_VOXELIZE', 'dynamic')  # dynamic | hard
+    splat = os.environ.get('BENCH_SPLAT')          # auto | xla | pallas
+    if splat:
+        from mmdet3d_gaussian_tpu.ops import voxelize as _vx
+        _vx.SPLAT_IMPL = splat
 
     if scale == 'waymo':
         batch_size = int(os.environ.get('BENCH_BATCH', 2))
