@@ -226,37 +226,44 @@ class PointVoxelStatsCalculator(nn.Module):
         return c
 
     def __call__(self, points_xyz, scatter: Scatter):
-        feats = [points_xyz]
-        mean = scatter.reduce_mapback(points_xyz, 'mean')       # (N, 3)
+        # Voxel-level stats are gathered back to points in ONE mapback: the
+        # per-point gather is the serialized op on TPU, so mean / voxel
+        # center / count ride the same pass (channel split afterwards).
+        need_center = self.with_voxel_center or self.with_voxel_center_offset
+        vox = [scatter.reduce(points_xyz, 'mean')]              # (V, 3)
+        if need_center:
+            o = 1 if scatter.voxel_coords.shape[-1] == 4 else 0
+            vc = scatter.voxel_coords[:, o:o + 3].astype(points_xyz.dtype)
+            vsz = jnp.asarray(self.voxel_size, points_xyz.dtype)
+            org = jnp.asarray(self.point_cloud_range[:3], points_xyz.dtype)
+            vox.append((vc + 0.5) * vsz + org)                  # (V, 3)
+        if self.with_voxel_point_count:
+            vox.append(scatter.voxel_counts[:, None]
+                       .astype(points_xyz.dtype))               # (V, 1)
+        per_pt = scatter.mapback(jnp.concatenate(vox, axis=-1))
+        mean = per_pt[:, :3]
         off = points_xyz - mean
+
+        feats = [points_xyz]
         if self.with_cluster_center:
             feats.append(mean)
         if self.with_cluster_center_offset:
             feats.append(off)
         if self.with_covariance:
+            # second pass is inherent: the outer products need the
+            # mapped-back mean first (reference utils.py:59-64 semantics)
             outer = (off[:, None, :] * off[:, :, None]).reshape(-1, 9)
             feats.append(scatter.reduce_mapback(outer, 'mean'))
-        if self.with_voxel_center or self.with_voxel_center_offset:
-            # voxel centers from the per-point coords gathered off the
-            # scatter's voxel_coords (batch col first when present)
-            vc = scatter.mapback(
-                scatter.voxel_coords.astype(points_xyz.dtype))
-            o = 1 if scatter.voxel_coords.shape[-1] == 4 else 0
-            cx = (vc[:, o + 0] + 0.5) * self.voxel_size[0] \
-                + self.point_cloud_range[0]
-            cy = (vc[:, o + 1] + 0.5) * self.voxel_size[1] \
-                + self.point_cloud_range[1]
-            cz = (vc[:, o + 2] + 0.5) * self.voxel_size[2] \
-                + self.point_cloud_range[2]
-            ctr = jnp.stack([cx, cy, cz], axis=-1)
+        col = 3
+        if need_center:
+            ctr = per_pt[:, col:col + 3]
+            col += 3
             if self.with_voxel_center:
                 feats.append(ctr)
             if self.with_voxel_center_offset:
                 feats.append(points_xyz - ctr)
         if self.with_voxel_point_count:
-            cnt = scatter.mapback(
-                scatter.voxel_counts[:, None].astype(points_xyz.dtype))
-            feats.append(cnt)
+            feats.append(per_pt[:, col:col + 1])
         return jnp.concatenate(feats, axis=-1)
 
 
