@@ -205,7 +205,10 @@ class PVRCNNDetector:
                c['sparse_shape'][0])
         # capacity is PER SAMPLE like the reference max_voxels (16000/scan)
         sc = build_scatter(coords4, nzs, c['max_voxels'] * b)
-        feats = sc.reduce(flat, 'mean')         # HardSimpleVFE
+        # HardSimpleVFE mean over the voxel-sorted order (sorted segment
+        # lowering; see Scatter.sorted_view)
+        feats = sc.sorted_view().reduce(
+            jnp.take(flat, sc.sort_order, axis=0), 'mean')
         # reorder coords to (b, z, y, x)
         vc = sc.voxel_coords
         coords_bzyx = jnp.stack([vc[:, 0], vc[:, 3], vc[:, 2], vc[:, 1]],
