@@ -111,8 +111,11 @@ def _splat(voxel_feats, lin, ncell: int, indices_sorted: bool):
         XLA's sorted-segment-sum lowering to a 12 ms serialized scatter,
         and ``.at[].add(mode='drop')`` hits the same slow path (11.8 ms).
     """
-    use_pallas = (indices_sorted and voxel_feats.shape[0] >= 512
-                  and voxel_feats.shape[1] <= 124 and ncell < (1 << 24)
+    # kernel preconditions: window fits (V >= TR+ALIGN), DMA-alignable V,
+    # packable row (C + 3 id digits <= 128 lanes), f32-exact cell ids
+    v, c = voxel_feats.shape
+    use_pallas = (indices_sorted and v >= 528 and v % 16 == 0
+                  and c <= 124 and ncell < (1 << 24)
                   and SPLAT_IMPL != 'xla'
                   and (SPLAT_IMPL == 'pallas'
                        or jax.default_backend() == 'tpu'))
