@@ -100,7 +100,7 @@ def points_in_rect_fov(points, calib, img_shape=(375, 1242)):
     pts = np.c_[points[:, :3], np.ones(len(points))]
     cam = pts @ (calib['R0_rect'] @ calib['Tr_velo_to_cam']).T
     depth_ok = cam[:, 2] > 0
-    uvw = cam[:, :4] @ np.vstack([calib['P2'].T, [0, 0, 0]])
+    uvw = cam @ calib['P2'].T            # (N, 4) @ (4, 3) homogeneous
     uv = uvw[:, :2] / np.maximum(uvw[:, 2:3], 1e-6)
     in_img = ((uv[:, 0] >= 0) & (uv[:, 0] < img_shape[1])
               & (uv[:, 1] >= 0) & (uv[:, 1] < img_shape[0]))
