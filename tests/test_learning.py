@@ -82,55 +82,62 @@ def make_batch(rng, b=4):
     return {k: jnp.asarray(np.stack(v)) for k, v in out.items()}
 
 
-@pytest.mark.slow
-def test_model_learns_to_detect():
+def _run_learning(det, make_b, predict_label, steps=600, n_fixed=4,
+                  min_matched=10):
+    """Overfit-regime machinery check: train on n_fixed FIXED batches
+    (cycled), evaluate detection quality on those scenes.
+
+    Earlier versions trained on FRESH scenes each step and asserted a
+    marginal matched>=2 on held-out scenes — at that operating point a
+    tiny model's score ranking is so weak that float-rounding differences
+    between mathematically equivalent program layouts flipped the result
+    (debugged via cross-commit grad comparison: grads equal to 1e-7, the
+    600-step trajectory is chaotic).  The overfit regime exercises the
+    same machinery (targets -> losses -> grads -> decode -> NMS) with a
+    wide margin: loss drops ~100x and most GTs are matched.
+    """
     rng = np.random.RandomState(0)
-    det = PointPillarsDetector(model_cfg=TINY, head_cfg=TINY_HEAD)
-    batch0 = make_batch(rng)
-    variables = jax.jit(det.init)(jax.random.PRNGKey(0), batch0)
-    opt = ts.make_optimizer(3e-3, total_steps=600,
+    fixed = [make_b(rng) for _ in range(n_fixed)]
+    variables = jax.jit(det.init)(jax.random.PRNGKey(0), fixed[0])
+    opt = ts.make_optimizer(3e-3, total_steps=steps,
                             target_ratio=(3.0, 1e-2))
     state = ts.init_state(variables['params'], variables['batch_stats'],
                           opt)
     step = jax.jit(ts.make_train_step(
         lambda v, b, t: det.apply_train(v, b), det.loss, opt))
-
     first = None
-    for i in range(600):
-        batch = make_batch(rng)
-        state, m = step(state, batch)
+    for i in range(steps):
+        state, m = step(state, fixed[i % n_fixed])
         if i == 0:
             first = float(m['loss'])
     last = float(m['loss'])
     assert np.isfinite(last)
-    assert last < first * 0.5, (first, last)
+    assert last < first * 0.2, (first, last)
 
-    # detection quality on fresh scenes
     variables = {'params': state.params, 'batch_stats': state.batch_stats}
-    test_batch = make_batch(np.random.RandomState(123))
-    boxes, scores, labels, valid = jax.jit(det.predict)(variables,
-                                                        test_batch)
-    boxes, scores = np.asarray(boxes), np.asarray(scores)
-    labels, valid = np.asarray(labels), np.asarray(valid)
+    matched = total_gt = nvalid = 0
+    for tb in fixed[:2]:
+        boxes, scores, labels, valid = jax.jit(det.predict)(variables, tb)
+        boxes, valid = np.asarray(boxes), np.asarray(valid)
+        labels = np.asarray(labels)
+        for i in range(boxes.shape[0]):
+            gt = np.asarray(tb['gt_bboxes'][i])
+            gt = gt[np.asarray(tb['gt_valid'][i])]
+            total_gt += len(gt)
+            det_i = boxes[i][valid[i]]
+            nvalid += len(det_i)
+            if len(det_i) and len(gt):
+                matched += int((iou_bev(det_i[:, :7], gt).max(0)
+                                >= 0.3).sum())
+            assert (labels[i][valid[i]] == predict_label).all()
+    assert nvalid >= min_matched, nvalid
+    assert matched >= min_matched, (matched, total_gt)
 
-    matched, total_gt = 0, 0
-    for i in range(4):
-        gt = np.asarray(test_batch['gt_bboxes'][i])
-        gv = np.asarray(test_batch['gt_valid'][i])
-        gt = gt[gv]
-        total_gt += len(gt)
-        det_i = boxes[i][valid[i]]
-        if len(det_i) == 0:
-            continue
-        iou = iou_bev(det_i[:, :7], gt)
-        matched += int((iou.max(0) >= 0.3).sum())
 
-    # a tiny model at 600 steps localizes roughly; assert the qualitative
-    # signals that distinguish "learning" from "noise": confident detections
-    # exist, they are all the right class, and some localize onto GTs
-    assert int(valid.sum()) >= 8, int(valid.sum())
-    assert (labels[valid] == 2).all(), labels[valid]
-    assert matched >= 2, (matched, total_gt)
+@pytest.mark.slow
+def test_model_learns_to_detect():
+    det = PointPillarsDetector(model_cfg=TINY, head_cfg=TINY_HEAD)
+    _run_learning(det, make_batch, predict_label=2)
 
 
 @pytest.mark.slow
@@ -162,46 +169,5 @@ def test_centerpoint_learns_to_detect():
                       nms_type='rotate', nms_thr=0.2, post_max_size=8),
     )
     # task split [1, 2]: class 2 (Car) -> task 1, local id 1
-    rng = np.random.RandomState(0)
     det = CenterPointDetector(model_cfg=model, head_cfg=head)
-    batch0 = make_batch(rng)
-    variables = jax.jit(det.init)(jax.random.PRNGKey(0), batch0)
-    opt = ts.make_optimizer(3e-3, total_steps=600,
-                            target_ratio=(3.0, 1e-2))
-    state = ts.init_state(variables['params'], variables['batch_stats'],
-                          opt)
-    step = jax.jit(ts.make_train_step(
-        lambda v, b, t: det.apply_train(v, b), det.loss, opt))
-
-    first = None
-    for i in range(600):
-        batch = make_batch(rng)
-        state, m = step(state, batch)
-        if i == 0:
-            first = float(m['loss'])
-    last = float(m['loss'])
-    assert np.isfinite(last)
-    assert last < first * 0.5, (first, last)
-
-    variables = {'params': state.params, 'batch_stats': state.batch_stats}
-    test_batch = make_batch(np.random.RandomState(123))
-    boxes, scores, labels, valid = jax.jit(det.predict)(variables,
-                                                        test_batch)
-    boxes, scores = np.asarray(boxes), np.asarray(scores)
-    labels, valid = np.asarray(labels), np.asarray(valid)
-
-    matched, total_gt = 0, 0
-    for i in range(4):
-        gt = np.asarray(test_batch['gt_bboxes'][i])
-        gv = np.asarray(test_batch['gt_valid'][i])
-        gt = gt[gv]
-        total_gt += len(gt)
-        det_i = boxes[i][valid[i]]
-        if len(det_i) == 0:
-            continue
-        iou = iou_bev(det_i[:, :7], gt)
-        matched += int((iou.max(0) >= 0.3).sum())
-
-    assert int(valid.sum()) >= 4, int(valid.sum())
-    assert (labels[valid] == 2).all(), labels[valid]
-    assert matched >= 2, (matched, total_gt)
+    _run_learning(det, make_batch, predict_label=2, min_matched=8)
