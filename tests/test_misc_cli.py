@@ -72,3 +72,21 @@ def test_visualize_result_cli(kitti_cfg, tmp_path):
     for dirpath, _, files in os.walk(out_dir):
         found += [f for f in files if f.endswith('.obj')]
     assert found, r.stdout
+
+
+def test_test_cli_format_only_and_show_dir(kitti_cfg, tmp_path):
+    """tools/test.py --format-only --show-dir (reference test.py flags):
+    dumps a results pkl + per-frame .obj overlays, skips evaluation."""
+    root, cfg_path = kitti_cfg
+    out_pkl = tmp_path / 'res.pkl'
+    show_dir = tmp_path / 'show'
+    r = _run([f'{REPO}/tools/test.py', str(cfg_path),
+              '--format-only', '--out', str(out_pkl),
+              '--show-dir', str(show_dir), '--show-score-thr', '0.0'])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert 'formatted' in r.stdout, r.stdout[-300:]
+    assert out_pkl.exists()
+    found = []
+    for dirpath, _, files in os.walk(show_dir):
+        found += [f for f in files if f.endswith('_points.obj')]
+    assert found, r.stdout

@@ -27,6 +27,14 @@ def parse_args():
                    help="eval with bf16 compute (the reference's fp16 wrap "
                         "analogue); BN/decode stay f32")
     p.add_argument('--out', default=None, help='dump results pkl')
+    p.add_argument('--format-only', action='store_true',
+                   help='dump/format results without evaluating (reference '
+                        'test.py --format-only; pair with --out)')
+    p.add_argument('--show-dir', default=None,
+                   help='dump per-frame .obj overlays of points + '
+                        'detections (reference --show-dir; headless obj '
+                        'instead of open3d windows)')
+    p.add_argument('--show-score-thr', type=float, default=0.3)
     p.add_argument('--cfg-options', nargs='+', default=[])
     return p.parse_args()
 
@@ -110,17 +118,32 @@ def main():
     predict = jax.jit(det.predict)
     num_classes = detector_num_classes(det)
     results = []
+    frame_idx = 0
     for batch in make_iter(0):
         metas = batch.pop('metas', None)
         boxes, scores, labels, valid = predict(variables, batch)
         for i in range(boxes.shape[0]):
             results.append(detections_to_per_class(
                 boxes[i], scores[i], labels[i], valid[i], num_classes))
+            if args.show_dir and frame_idx < len(ds):
+                from mmdet3d_gaussian_tpu.core.visualizer import show_result
+                sel = (np.asarray(valid[i])
+                       & (np.asarray(scores[i]) >= args.show_score_thr))
+                pts = np.asarray(batch['points'][i])[
+                    np.asarray(batch['points_mask'][i])]
+                show_result(pts, None, np.asarray(boxes[i])[sel][:, :7],
+                            args.show_dir, f'frame{frame_idx:06d}')
+            frame_idx += 1
 
     if args.out:
         import pickle
         with open(args.out, 'wb') as f:
             pickle.dump(results, f)
+
+    if args.format_only:
+        print(f'formatted {len(results[:len(ds)])} frames'
+              + (f' -> {args.out}' if args.out else ''))
+        return
 
     report = ds.evaluate(results[:len(ds)], metric=args.metric)
     print(json.dumps({k: float(v) for k, v in report.items()}, indent=2))
