@@ -136,8 +136,8 @@ def run_training(det, cfg, work_dir: str, seed: int = 0,
 
     with use_mesh(mesh), open(log_path, 'a') as logf:
         for epoch in range(epochs):
-            for sb in prefetch(make_iter(seed + epoch), depth=2,
-                               place_fn=place):
+            pf = prefetch(make_iter(seed + epoch), depth=2, place_fn=place)
+            for sb in pf:
                 if profile_steps and step == profile_steps[0]:
                     jax.profiler.start_trace(
                         os.path.join(work_dir, 'profile'))
@@ -158,6 +158,7 @@ def run_training(det, cfg, work_dir: str, seed: int = 0,
                     print(f'step {step}: loss={rec["loss"]:.4f}')
                 if step >= total_steps:
                     break
+            pf.close()   # unblock the producer on early exit
             import jax as _jax
             meta = dict(step=step, epoch=epoch,
                         classes=list(getattr(ds, 'CLASSES', []) or []),

@@ -34,13 +34,19 @@ _STOP = object()
 
 
 class Prefetcher:
-    """Wrap a batch iterator with a background producer + bounded queue."""
+    """Wrap a batch iterator with a background producer + bounded queue.
+
+    Call :meth:`close` when abandoning the iterator early (e.g. a
+    ``max_steps`` break mid-epoch) — it unblocks and joins the producer so
+    repeated short runs don't accumulate threads parked on ``q.put``.
+    """
 
     def __init__(self, it: Iterator, depth: int = 2,
                  place_fn: Optional[Callable] = None):
         self._q = queue.Queue(maxsize=max(1, depth))
         self._place = place_fn
         self._err = None
+        self._stop = False
         self._thread = threading.Thread(
             target=self._produce, args=(it,), daemon=True)
         self._thread.start()
@@ -50,11 +56,32 @@ class Prefetcher:
             for item in it:
                 if self._place is not None:
                     item = self._place(item)
-                self._q.put(item)
+                while not self._stop:
+                    try:
+                        self._q.put(item, timeout=0.2)
+                        break
+                    except queue.Full:
+                        continue
+                if self._stop:
+                    return
         except BaseException as e:   # surfaced on the consumer side
             self._err = e
         finally:
-            self._q.put(_STOP)
+            try:
+                self._q.put_nowait(_STOP)
+            except queue.Full:
+                pass
+        # iterator closed here (thread scope) so pooled workers wind down
+
+    def close(self):
+        """Stop the producer and join it; safe to call multiple times."""
+        self._stop = True
+        while True:            # drain so a blocked put can observe _stop
+            try:
+                self._q.get_nowait()
+            except queue.Empty:
+                break
+        self._thread.join(timeout=30)
 
     def __iter__(self):
         return self

@@ -75,3 +75,12 @@ def test_prefetcher_propagates_producer_error():
     assert next(it) == 1
     with pytest.raises(ValueError, match='boom'):
         list(it)
+
+
+def test_prefetcher_close_unblocks_producer():
+    ds = FakeDS(100, delay=0.001)
+    it = pooled_sample_iterator(ds, range(100), 4, collate, workers=2)
+    pf = Prefetcher(it, depth=1)
+    next(pf)                      # start consuming, then abandon early
+    pf.close()
+    assert not pf._thread.is_alive()
