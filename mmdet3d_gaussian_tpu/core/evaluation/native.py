@@ -12,20 +12,38 @@ import subprocess
 
 import numpy as np
 
-_CSRC = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
-    os.path.dirname(os.path.abspath(__file__))))), 'csrc')
+_PKG = os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+_CSRC = os.path.join(os.path.dirname(_PKG), 'csrc')
 _SO = os.path.join(_CSRC, 'libeval_ops.so')
 _lib = None
+
+
+def _find_so():
+    """Search order: env override -> repo csrc build -> the extension
+    setup.py installs inside the package (``_libeval_ops*.so``)."""
+    env = os.environ.get('MMDET3D_TPU_EVAL_LIB')
+    if env:
+        return env
+    if os.path.exists(_SO):
+        return _SO
+    import glob
+    hits = glob.glob(os.path.join(_PKG, '_libeval_ops*.so'))
+    if hits:
+        return hits[0]
+    if os.path.isdir(_CSRC):   # source checkout: build on first use
+        subprocess.run(['make', '-C', _CSRC], check=True,
+                       capture_output=True)
+        return _SO
+    raise OSError('no native eval library found (set MMDET3D_TPU_EVAL_LIB '
+                  'or build csrc/)')
 
 
 def _load():
     global _lib
     if _lib is not None:
         return _lib
-    if not os.path.exists(_SO):
-        subprocess.run(['make', '-C', _CSRC], check=True,
-                       capture_output=True)
-    lib = ctypes.CDLL(_SO)
+    lib = ctypes.CDLL(_find_so())
     f32p = np.ctypeslib.ndpointer(np.float32, flags='C_CONTIGUOUS')
     i32p = np.ctypeslib.ndpointer(np.int32, flags='C_CONTIGUOUS')
     u8p = np.ctypeslib.ndpointer(np.uint8, flags='C_CONTIGUOUS')
