@@ -141,7 +141,7 @@ def main():
     det = PointPillarsDetector(model_cfg=mc or None, head_cfg=hc)
     batch = synthetic_batch(batch_size=batch_size, num_points=num_points,
                             num_gt=16, pc_range=pcr, num_feats=num_feats)
-    variables = det.init(jax.random.PRNGKey(0), batch)
+    variables = jax.jit(det.init)(jax.random.PRNGKey(0), batch)
     dev = jax.devices()[0]
     peak = _peak_flops(dev)
     tag = '{},{},{}'.format(scale, 'bf16' if bf16 else 'f32', vox)

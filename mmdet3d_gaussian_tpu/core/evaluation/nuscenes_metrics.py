@@ -152,7 +152,14 @@ def _calc_tp(md: _MetricData, npos: int, metric: str) -> float:
     if curves is None:
         return 1.0
     rec, _, conf_i = curves
-    max_recall_ind = int(round(100 * float(rec.max())))
+    # devkit: max_recall_ind = last grid index with nonzero interpolated
+    # confidence (np.nonzero(md.confidence)[0][-1]) — round(100*max_recall)
+    # can land one grid point past it, pulling in a spurious left-clamped
+    # interp term
+    nz = np.nonzero(conf_i)[0]
+    if len(nz) == 0:
+        return 1.0
+    max_recall_ind = int(nz[-1])
     first_ind = round(100 * MIN_RECALL) + 1
     if max_recall_ind < first_ind:
         return 1.0

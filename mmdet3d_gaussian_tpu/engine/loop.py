@@ -88,23 +88,13 @@ def run_training(det, cfg, work_dir: str, seed: int = 0,
     steps_per_epoch = max(1, len(ds) // batch_size)
     total_steps = max_steps or epochs * steps_per_epoch
 
-    opt_cfg = dict(cfg.get('optimizer', {}))
-    lr_cfg = dict(cfg.get('lr_config', {}))
-    mom_cfg = cfg.get('momentum_config')
-    optimizer = ts.make_optimizer(
-        base_lr=float(opt_cfg.get('lr', 1e-3)),
-        total_steps=total_steps,
-        betas=tuple(opt_cfg.get('betas', (0.95, 0.99))),
-        weight_decay=float(opt_cfg.get('weight_decay', 0.01)),
-        grad_clip=float(cfg.get('grad_clip', 10.0)),
-        target_ratio=tuple(lr_cfg.get('target_ratio', (10.0, 1e-4))),
-        step_ratio_up=float(lr_cfg.get('step_ratio_up', 0.4)),
-        momentum_target_ratio=(tuple(mom_cfg['target_ratio'])
-                               if mom_cfg else None),
-        warmup=cfg.get('warmup'))
+    optimizer = ts.make_optimizer_from_cfg(cfg, total_steps)
 
-    # init from one real batch
-    first = next(make_iter(seed))
+    # init from one real batch (close the iterator so its prefetch pool
+    # doesn't linger loading samples nobody will consume)
+    init_iter = make_iter(seed)
+    first = next(init_iter)
+    init_iter.close()
     first.pop('metas', None)   # non-array; jitted init takes arrays only
     variables = jax.jit(det.init)(jax.random.PRNGKey(seed), first)
     state = ts.init_state(variables['params'], variables['batch_stats'],

@@ -75,9 +75,15 @@ def make_probe(fn: Callable, *args, inject: Callable = None) -> Callable:
         out = fn(*inject(args, c))
         tot = jnp.zeros((), jnp.float32)
         for leaf in jax.tree_util.tree_leaves(out):
-            if hasattr(leaf, 'dtype') and jnp.issubdtype(
-                    leaf.dtype, jnp.inexact):
+            if not hasattr(leaf, 'dtype'):
+                continue
+            # integer/bool outputs must be fenced too: a probe whose fn
+            # returns only int leaves (e.g. voxel coords) would otherwise
+            # compile to a constant and the whole workload dead-codes away
+            if jnp.issubdtype(leaf.dtype, jnp.inexact):
                 tot = tot + jnp.sum(leaf).astype(jnp.float32)
+            else:
+                tot = tot + jnp.sum(leaf.astype(jnp.float32))
         return tot * 1e-30
     return probe
 

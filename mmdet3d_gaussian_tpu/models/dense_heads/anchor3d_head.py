@@ -141,9 +141,13 @@ class GDAnchor3DHead:
         # one-hot matmul instead of gt_bboxes[safe_gt]: the row gather from
         # a (G, 7) table serializes on TPU (7 ms/step at KITTI scale); the
         # (A, G) x (G, 7) contraction is a trivial MXU op.
+        # precision='highest': DEFAULT matmul precision feeds the MXU bf16
+        # operands, which would quantize gt coordinates (0.25 m ulp at
+        # x in [32, 64)); HIGHEST makes the one-hot selection bit-exact and
+        # the (A, G) x (G, 7) contraction is tiny either way.
         oh = jax.nn.one_hot(safe_gt, gt_bboxes.shape[0],
                             dtype=gt_bboxes.dtype)
-        matched_gt = oh @ gt_bboxes
+        matched_gt = jnp.matmul(oh, gt_bboxes, precision='highest')
 
         labels = jnp.where(pos, labels_a, self.num_classes).astype(jnp.int32)
         label_weights = (pos | neg).astype(jnp.float32)

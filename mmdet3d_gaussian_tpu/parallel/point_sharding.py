@@ -148,14 +148,23 @@ def sharded_pillar_reduce_sparse(points, mask, pc_range, voxel_size,
         frag = jnp.take_along_axis(stripes, sel[..., None], axis=1)
         frag_live = jnp.take_along_axis(live, sel, axis=1)
         cell = jnp.where(frag_live, sel, stripe_cells)        # trash slot
-        # (n, cap, F+1): feature rows + cell id, routed to stripe owners
+        # (n, cap, F+1): feature rows + cell id, routed to stripe owners.
+        # The id lane must stay integer-exact through the float payload:
+        # bf16 (7 mantissa bits) corrupts ids > 256, so promote the routed
+        # payload to f32 when pts.dtype can't represent stripe_cells
+        # (costs 2x ICI bytes for bf16 inputs; a base-256 two-lane digit
+        # pack would recover it if this ever shows up in profiles)
+        route_dt = (pts.dtype if jnp.finfo(pts.dtype).nmant >= 23
+                    or stripe_cells < 2 ** jnp.finfo(pts.dtype).nmant
+                    else jnp.float32)
         packed = jnp.concatenate(
-            [frag, cell[..., None].astype(pts.dtype)], axis=-1)
+            [frag.astype(route_dt), cell[..., None].astype(route_dt)],
+            axis=-1)
         recv = jax.lax.all_to_all(packed, axis, split_axis=0,
                                   concat_axis=0, tiled=False)  # (n, cap, F+1)
 
         rcell = recv[..., -1].astype(jnp.int32).reshape(-1)
-        rfeat = recv[..., :-1].reshape(-1, f)
+        rfeat = recv[..., :-1].reshape(-1, f).astype(pts.dtype)
         if op == 'max':
             own = jnp.full((stripe_cells + 1, f), -jnp.inf, pts.dtype)
             own = own.at[rcell].max(rfeat)[:stripe_cells]

@@ -71,6 +71,32 @@ def make_optimizer(base_lr: float, total_steps: int,
     return optax.chain(*txs)
 
 
+def make_optimizer_from_cfg(cfg, total_steps: int
+                            ) -> optax.GradientTransformation:
+    """Build the optimizer from a config dict, exactly as training does.
+
+    The opt_state pytree STRUCTURE depends on which transforms are present
+    (``momentum_config`` -> inject_hyperparams adam; ``warmup`` -> extra
+    masked schedule links in the chain), so checkpoint-restore targets in
+    tools/test.py / tools/export.py must be built through this same path or
+    orbax restore fails on a structure mismatch.
+    """
+    opt_cfg = dict(cfg.get('optimizer', {}))
+    lr_cfg = dict(cfg.get('lr_config', {}))
+    mom_cfg = cfg.get('momentum_config')
+    return make_optimizer(
+        base_lr=float(opt_cfg.get('lr', 1e-3)),
+        total_steps=total_steps,
+        betas=tuple(opt_cfg.get('betas', (0.95, 0.99))),
+        weight_decay=float(opt_cfg.get('weight_decay', 0.01)),
+        grad_clip=float(cfg.get('grad_clip', 10.0)),
+        target_ratio=tuple(lr_cfg.get('target_ratio', (10.0, 1e-4))),
+        step_ratio_up=float(lr_cfg.get('step_ratio_up', 0.4)),
+        momentum_target_ratio=(tuple(mom_cfg['target_ratio'])
+                               if mom_cfg else None),
+        warmup=cfg.get('warmup'))
+
+
 def make_train_step(apply_fn: Callable, loss_fn: Callable,
                     optimizer: optax.GradientTransformation,
                     axis_name: Optional[str] = None) -> Callable:

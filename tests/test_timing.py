@@ -58,3 +58,19 @@ def test_chain_time_state_threads_state():
     assert t >= 0.0
     # 1 warm + (2 + 6) per rep = 9 steps of +8
     assert float(final) == pytest.approx(8.0 * 9)
+
+
+def test_make_probe_fences_integer_outputs():
+    """A fn returning ONLY integer leaves must not dead-code away: the
+    probe scalar must depend on the int outputs (regression: the bench's
+    dynamic-voxelize phase probe returned int32 voxel coords only and
+    compiled to a constant, reporting ~0 ms)."""
+    def int_only(x):
+        return (x * 2.0).astype(jnp.int32)
+
+    probe = make_probe(int_only, jnp.arange(8, dtype=jnp.float32))
+    base = float(probe(jnp.zeros((), jnp.float32)))
+    probe2 = make_probe(int_only, jnp.arange(8, dtype=jnp.float32) + 100.0)
+    shifted = float(probe2(jnp.zeros((), jnp.float32)))
+    assert base != 0.0
+    assert shifted != base

@@ -160,6 +160,14 @@ def test_tools_test_cli(kitti_root, tmp_path):
 
     cfg = _cfg(kitti_root)
     cfg.data['val'] = dict(cfg.data['train'])
+    # cyclic momentum + warmup change the opt_state pytree structure; the
+    # restore target in tools/test.py must rebuild the SAME structure
+    # (regression: it used to rebuild a plain-adam optimizer and fail)
+    mom = dict(policy='cyclic', target_ratio=(0.85 / 0.95, 1),
+               cyclic_times=1, step_ratio_up=0.4)
+    warm = dict(warmup_iters=10)
+    cfg.momentum_config = mom
+    cfg.warmup = warm
     det = PointPillarsDetector(model_cfg=dict(cfg.model),
                                head_cfg=dict(cfg.head))
     work_dir = str(tmp_path / 'work_cli')
@@ -175,6 +183,8 @@ def test_tools_test_cli(kitti_root, tmp_path):
         f.write(f'head = {dict(cfg.head)!r}\n')
         f.write(f'data = {cfg.to_dict()["data"]!r}\n')
         f.write('optimizer = dict(lr=1e-3)\n')
+        f.write(f'momentum_config = {mom!r}\n')
+        f.write(f'warmup = {warm!r}\n')
 
     env = dict(os.environ, JAX_PLATFORMS='cpu',
                PYTHONPATH='/root/repo')

@@ -95,19 +95,18 @@ def main():
                                    head_cfg=cfg.get('head'))
     ds, make_iter = build_dataloader(cfg, 'val')
 
-    first = next(make_iter(0))
+    init_iter = make_iter(0)
+    first = next(init_iter)
+    init_iter.close()
     first.pop('metas', None)
     variables = jax.jit(det.init)(jax.random.PRNGKey(0), first)
     if args.checkpoint:
         # the restore target must match the saved TrainState structure,
-        # including the optimizer state pytree
+        # including the optimizer state pytree — build it through the same
+        # config path training uses (momentum_config / warmup change the
+        # opt_state tree shape)
         from mmdet3d_gaussian_tpu.parallel import train_state as ts
-        opt_cfg = dict(cfg.get('optimizer', {}))
-        optimizer = ts.make_optimizer(
-            base_lr=float(opt_cfg.get('lr', 1e-3)), total_steps=1,
-            betas=tuple(opt_cfg.get('betas', (0.95, 0.99))),
-            weight_decay=float(opt_cfg.get('weight_decay', 0.01)),
-            warmup=cfg.get('warmup'))   # must mirror training's structure
+        optimizer = ts.make_optimizer_from_cfg(cfg, total_steps=1)
         target = ts.init_state(variables['params'],
                                variables['batch_stats'], optimizer)
         state = restore_checkpoint(args.checkpoint, target)
