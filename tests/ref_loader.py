@@ -285,3 +285,99 @@ def make_ref_head(head_mod, gd_loss_mod, num_classes=3,
                           decode_weight=decode_weight)
     head.add_sin_difference = oracles.add_sin_difference
     return head
+
+
+def load_gd_centerpoint_head():
+    """Load the reference ``gd_centerpoint_head.py`` (CenterHeadRev /
+    CenterGDHead) for target-building parity.
+
+    The upstream pieces (``draw_heatmap_gaussian``, ``gaussian_radius``,
+    ``multi_apply``, ``clip_sigmoid``, base ``CenterHead``) are stubbed with
+    transcriptions in tests/torch_oracles.py.  Instantiate via
+    :func:`make_ref_center_head` — do not call ``__init__``.
+    """
+
+    class _BaseModule(nn.Module):
+        def __init__(self, init_cfg=None):
+            super().__init__()
+
+    class _CenterHeadStub(nn.Module):
+        def __init__(self, **kwargs):
+            super().__init__()
+
+    stubs = {
+        'mmcv': _mod('mmcv'),
+        'mmcv.cnn': _mod('mmcv.cnn', CONV_LAYERS=_NoopRegistry()),
+        'mmcv.runner': _mod('mmcv.runner',
+                            force_fp32=_noop_decorator_factory,
+                            BaseModule=_BaseModule),
+        'mmdet': _mod('mmdet'),
+        'mmdet.core': _mod('mmdet.core', multi_apply=oracles.multi_apply),
+        'mmdet3d': _mod('mmdet3d'),
+        'mmdet3d.core': _mod(
+            'mmdet3d.core', circle_nms=None,
+            draw_heatmap_gaussian=oracles.draw_heatmap_gaussian,
+            gaussian_radius=oracles.gaussian_radius,
+            xywhr2xyxyr=None),
+        'mmdet3d.models': _mod('mmdet3d.models'),
+        'mmdet3d.models.builder': _mod('mmdet3d.models.builder',
+                                       HEADS=_NoopRegistry(),
+                                       build_loss=lambda cfg: None),
+        'mmdet3d.models.utils': _mod('mmdet3d.models.utils',
+                                     clip_sigmoid=oracles.clip_sigmoid),
+        'mmdet3d.models.dense_heads': _mod('mmdet3d.models.dense_heads',
+                                           CenterHead=_CenterHeadStub),
+        'mmdet3d.ops': _mod('mmdet3d.ops'),
+        'mmdet3d.ops.iou3d': _mod('mmdet3d.ops.iou3d'),
+        'mmdet3d.ops.iou3d.iou3d_utils': _mod(
+            'mmdet3d.ops.iou3d.iou3d_utils', nms_gpu=None),
+    }
+    with _stubbed(stubs):
+        return _load_as(
+            f'{REF_ROOT}/models/dense_heads/gd_centerpoint_head.py',
+            'ref_gd_centerpoint_head')
+
+
+class FakeLiDARBoxes:
+    """Just the two attributes the reference ``get_targets_single`` touches
+    on LiDARInstance3DBoxes: ``tensor`` (N, 7+; bottom-center z) and
+    ``gravity_center``."""
+
+    def __init__(self, tensor):
+        self.tensor = tensor
+
+    @property
+    def gravity_center(self):
+        g = self.tensor[:, :3].clone()
+        g[:, 2] = g[:, 2] + self.tensor[:, 5] * 0.5
+        return g
+
+
+def make_ref_center_head(head_mod, class_names, train_cfg):
+    """Reference CenterHeadRev ready for ``get_targets`` without the
+    (upstream-dependent) __init__."""
+    head = object.__new__(head_mod.CenterHeadRev)
+    nn.Module.__init__(head)
+    head.class_names = [list(c) for c in class_names]
+    head.task_heads = list(range(len(class_names)))   # only len() is used
+    head.train_cfg = dict(train_cfg)
+    return head
+
+
+def load_centerpoint_coder():
+    """Load the reference ``centerpoint_bbox_coders.py`` module."""
+    class _Base:
+        def __init__(self, *a, **k):
+            pass
+
+    stubs = {
+        'mmdet': _mod('mmdet'),
+        'mmdet.core': _mod('mmdet.core'),
+        'mmdet.core.bbox': _mod('mmdet.core.bbox', BaseBBoxCoder=_Base),
+        'mmdet.core.bbox.builder': _mod('mmdet.core.bbox.builder',
+                                        BBOX_CODERS=_NoopRegistry()),
+    }
+    with _stubbed(stubs):
+        return _load_as(
+            '/root/reference/mmdet3d_gaussian/core/bbox/coders/'
+            'centerpoint_bbox_coders.py', 'ref_cp_coder_for_head')

@@ -678,3 +678,165 @@ def test_full_trunk_loss_and_param_grads_parity(ref_encoders, ref_head_mod):
               lambda g: g.transpose(2, 3, 1, 0), f'head {nm} kernel')
         check(grads['bbox_head'][nm]['bias'], conv.bias, lambda g: g,
               f'head {nm} bias')
+
+
+# ------------------------------------------------------------- centerhead
+def test_centerhead_targets_match_reference():
+    """CenterHeadRev target building (reference
+    ``gd_centerpoint_head.py:65-155``) vs our loop-free heatmap splat +
+    padded positive slots: heatmaps allclose, positive (cell, box) sets
+    identical."""
+    import jax.numpy as jnp
+    from mmdet3d_gaussian_tpu.models.dense_heads.centerpoint_head import (
+        CenterHead as OurCenterHead)
+
+    pc_range = (-25.6, -25.6, -5.0, 25.6, 25.6, 3.0)
+    voxel_size = (0.2, 0.2, 8.0)
+    factor = 4
+    fm = 64                       # 256-cell grid / out_size_factor
+    class_names = [['car'], ['pedestrian', 'cyclist']]
+
+    rng = _rng(11)
+    g = 12
+    # well-inside-range boxes on a jittered grid (unique BEV cells)
+    gx = (rng.permutation(fm - 8)[:g] + 4) * 0.8 - 25.6 + rng.rand(g) * 0.3
+    gy = (rng.permutation(fm - 8)[:g] + 4) * 0.8 - 25.6 + rng.rand(g) * 0.3
+    rows = np.c_[gx, gy, rng.uniform(-2, -1, g),
+                 rng.uniform(1.5, 4.5, g), rng.uniform(1.5, 4.5, g),
+                 rng.uniform(1.2, 2.0, g),
+                 rng.uniform(-3.0, 3.0, g)].astype(np.float32)
+    labels = rng.randint(0, 3, g).astype(np.int64)
+
+    # ---- reference
+    head_mod = ref_loader.load_gd_centerpoint_head()
+    ref_head = ref_loader.make_ref_center_head(
+        head_mod, class_names,
+        dict(grid_size=[fm * factor, fm * factor, 1],
+             point_cloud_range=list(pc_range), voxel_size=list(voxel_size),
+             out_size_factor=factor, gaussian_overlap=0.1, min_radius=2))
+    heatmaps, anno_boxes, pos_inds = ref_head.get_targets(
+        [ref_loader.FakeLiDARBoxes(torch.tensor(rows))],
+        [torch.tensor(labels)])
+
+    # ---- ours (padded static shapes)
+    pad = 16
+    gt = np.zeros((pad, 7), np.float32)
+    gt[:g] = rows
+    lab = np.zeros((pad,), np.int32)
+    lab[:g] = labels
+    valid = np.zeros((pad,), bool)
+    valid[:g] = True
+    our_head = OurCenterHead(
+        tasks=[dict(num_classes=len(c)) for c in class_names],
+        pc_range=pc_range, voxel_size=voxel_size, out_size_factor=factor,
+        max_objs=pad)
+    out = our_head.get_targets_single(jnp.asarray(gt), jnp.asarray(lab),
+                                      jnp.asarray(valid), (fm, fm))
+
+    for t in range(len(class_names)):
+        heat_ref = heatmaps[t][0].numpy()
+        heat_our = np.asarray(out[t]['heatmap'], np.float32)
+        assert heat_our.shape == heat_ref.shape
+        np.testing.assert_allclose(heat_our, heat_ref, atol=3e-5)
+
+        # positives: (x, y, box) sets must match.  Reference anno rows are
+        # gravity-z (gravity_center concat); decode ours back to raw boxes.
+        mask = np.asarray(out[t]['mask'])
+        inds_our = np.asarray(out[t]['inds'])[mask]
+        boxes_our = np.asarray(our_head.coder.decode_cells(
+            out[t]['anno'], out[t]['inds'][..., 0], out[t]['inds'][..., 1]
+        ))[mask]
+        boxes_ref = anno_boxes[t].numpy().copy()
+        boxes_ref[:, 2] -= boxes_ref[:, 5] * 0.5          # gravity -> bottom
+        inds_ref = pos_inds[t][:, 1:].numpy()
+        assert len(inds_our) == len(inds_ref)
+        o_ord = np.lexsort((inds_our[:, 1], inds_our[:, 0]))
+        r_ord = np.lexsort((inds_ref[:, 1], inds_ref[:, 0]))
+        np.testing.assert_array_equal(inds_our[o_ord], inds_ref[r_ord])
+        np.testing.assert_allclose(boxes_our[o_ord], boxes_ref[r_ord],
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_centerhead_loss_matches_reference():
+    """Full CenterHeadRev.loss parity (reference
+    ``gd_centerpoint_head.py:157-200``): same gt + same prediction maps ->
+    same per-task heatmap & bbox losses (pins _gather_feat, code_weights,
+    avg_factor and coder.encode semantics)."""
+    import jax
+    import jax.numpy as jnp
+    from mmdet3d_gaussian_tpu.models.dense_heads.centerpoint_head import (
+        CenterHead as OurCenterHead)
+
+    pc_range = (-25.6, -25.6, -5.0, 25.6, 25.6, 3.0)
+    voxel_size = (0.2, 0.2, 8.0)
+    factor = 4
+    fm = 64
+    class_names = [['car'], ['pedestrian', 'cyclist']]
+    code_weights = [1., 1., 1., 1., 1., 1., 0.8, 0.8]
+
+    rng = _rng(23)
+    g = 10
+    gx = (rng.permutation(fm - 8)[:g] + 4) * 0.8 - 25.6 + rng.rand(g) * 0.3
+    gy = (rng.permutation(fm - 8)[:g] + 4) * 0.8 - 25.6 + rng.rand(g) * 0.3
+    rows = np.c_[gx, gy, rng.uniform(-2, -1, g),
+                 rng.uniform(1.5, 4.5, g), rng.uniform(1.5, 4.5, g),
+                 rng.uniform(1.2, 2.0, g),
+                 rng.uniform(-3.0, 3.0, g)].astype(np.float32)
+    labels = rng.randint(0, 3, g).astype(np.int64)
+
+    # shared prediction maps, NCHW f32
+    preds_np = []
+    for cn in class_names:
+        preds_np.append(dict(
+            heatmap=rng.randn(1, len(cn), fm, fm).astype(np.float32),
+            reg=rng.randn(1, 2, fm, fm).astype(np.float32),
+            height=rng.randn(1, 1, fm, fm).astype(np.float32),
+            dim=(0.3 * rng.randn(1, 3, fm, fm)).astype(np.float32),
+            rot=rng.randn(1, 2, fm, fm).astype(np.float32)))
+
+    # ---- reference
+    head_mod = ref_loader.load_gd_centerpoint_head()
+    coder_mod = ref_loader.load_centerpoint_coder()
+    ref_head = ref_loader.make_ref_center_head(
+        head_mod, class_names,
+        dict(grid_size=[fm * factor, fm * factor, 1],
+             point_cloud_range=list(pc_range), voxel_size=list(voxel_size),
+             out_size_factor=factor, gaussian_overlap=0.1, min_radius=2,
+             code_weights=code_weights))
+    ref_head.loss_cls = oracles.TorchGaussianFocalLoss(loss_weight=1.0)
+    ref_head.loss_bbox = oracles.TorchL1Loss(loss_weight=0.25)
+    ref_head.bbox_coder = coder_mod.CenterPointBBoxCoderRev(
+        pc_range=pc_range, out_size_factor=factor, voxel_size=voxel_size)
+    ref_preds = [[{k: torch.tensor(v) for k, v in p.items()}]
+                 for p in preds_np]
+    ref_losses = ref_head.loss(
+        [ref_loader.FakeLiDARBoxes(torch.tensor(rows))],
+        [torch.tensor(labels)], ref_preds)
+
+    # ---- ours
+    pad = 16
+    gt = np.zeros((pad, 7), np.float32)
+    gt[:g] = rows
+    lab = np.zeros((pad,), np.int32)
+    lab[:g] = labels
+    valid = np.zeros((pad,), bool)
+    valid[:g] = True
+    our_head = OurCenterHead(
+        tasks=[dict(num_classes=len(c)) for c in class_names],
+        pc_range=pc_range, voxel_size=voxel_size, out_size_factor=factor,
+        max_objs=pad, code_weights=code_weights,
+        loss_bbox=dict(type='L1Loss', loss_weight=0.25))
+    tgt = our_head.get_targets_single(jnp.asarray(gt), jnp.asarray(lab),
+                                      jnp.asarray(valid), (fm, fm))
+    tgt_b = jax.tree_util.tree_map(lambda x: x[None], tgt)
+    our_preds = [{k: jnp.asarray(np.moveaxis(v, 1, -1))
+                  for k, v in p.items()} for p in preds_np]
+    our_losses = our_head.loss(our_preds, tgt_b)
+
+    for t in range(len(class_names)):
+        np.testing.assert_allclose(
+            float(our_losses[f'task{t}.loss_heatmap']),
+            float(ref_losses[f'task{t}.loss_heatmap']), rtol=1e-4)
+        np.testing.assert_allclose(
+            float(our_losses[f'task{t}.loss_bbox']),
+            float(ref_losses[f'task{t}.loss_bbox']), rtol=1e-4)

@@ -279,3 +279,107 @@ class TorchSECONDFPN(nn.Module):
 
     def forward(self, feats):
         return torch.cat([d(f) for d, f in zip(self.deblocks, feats)], dim=1)
+
+
+# ---------------------------------------------------------------- centerhead
+def multi_apply(func, *args, **kwargs):
+    """mmdet.core.multi_apply transcription: map + transpose to tuples of
+    lists (imported by the reference at gd_centerpoint_head.py:10)."""
+    import functools
+    pfunc = functools.partial(func, **kwargs) if kwargs else func
+    map_results = map(pfunc, *args)
+    return tuple(map(list, zip(*map_results)))
+
+
+def clip_sigmoid(x, eps=1e-4):
+    """mmdet3d.models.utils.clip_sigmoid transcription."""
+    return torch.clamp(x.sigmoid(), min=eps, max=1 - eps)
+
+
+def gaussian_2d(shape, sigma=1.0):
+    """mmdet3d gaussian_2d: float64 numpy Gaussian patch with tiny values
+    zeroed (upstream core/utils/gaussian.py semantics)."""
+    import numpy as np
+    m, n = [(ss - 1.0) / 2.0 for ss in shape]
+    y, x = np.ogrid[-m:m + 1, -n:n + 1]
+    h = np.exp(-(x * x + y * y) / (2 * sigma * sigma))
+    h[h < np.finfo(h.dtype).eps * h.max()] = 0
+    return h
+
+
+def draw_heatmap_gaussian(heatmap, center, radius, k=1):
+    """mmdet3d draw_heatmap_gaussian transcription: in-place max of a
+    (2r+1)^2 Gaussian patch (sigma = diameter/6) clipped at the canvas
+    edges; indexes heatmap[y, x]."""
+    diameter = 2 * radius + 1
+    gaussian = gaussian_2d((diameter, diameter), sigma=diameter / 6.0)
+    x, y = int(center[0]), int(center[1])
+    height, width = heatmap.shape[0:2]
+    left, right = min(x, radius), min(width - x, radius + 1)
+    top, bottom = min(y, radius), min(height - y, radius + 1)
+    masked_heatmap = heatmap[y - top:y + bottom, x - left:x + right]
+    masked_gaussian = torch.as_tensor(
+        gaussian[radius - top:radius + bottom,
+                 radius - left:radius + right], dtype=heatmap.dtype)
+    if min(masked_gaussian.shape) > 0 and min(masked_heatmap.shape) > 0:
+        torch.max(masked_heatmap, masked_gaussian * k, out=masked_heatmap)
+    return heatmap
+
+
+def gaussian_radius(det_size, min_overlap=0.5):
+    """mmdet3d gaussian_radius transcription (CenterNet three-case radius,
+    (b + sqrt)/2 roots)."""
+    import math
+    height, width = float(det_size[0]), float(det_size[1])
+
+    a1 = 1
+    b1 = height + width
+    c1 = width * height * (1 - min_overlap) / (1 + min_overlap)
+    sq1 = math.sqrt(b1 ** 2 - 4 * a1 * c1)
+    r1 = (b1 + sq1) / 2
+
+    a2 = 4
+    b2 = 2 * (height + width)
+    c2 = (1 - min_overlap) * width * height
+    sq2 = math.sqrt(b2 ** 2 - 4 * a2 * c2)
+    r2 = (b2 + sq2) / 2
+
+    a3 = 4 * min_overlap
+    b3 = -2 * min_overlap * (height + width)
+    c3 = (min_overlap - 1) * width * height
+    sq3 = math.sqrt(b3 ** 2 - 4 * a3 * c3)
+    r3 = (b3 + sq3) / 2
+    return min(r1, r2, r3)
+
+
+class TorchL1Loss(nn.Module):
+    """mmdet L1Loss with weight / avg_factor semantics."""
+
+    def __init__(self, reduction='mean', loss_weight=1.0):
+        super().__init__()
+        self.reduction, self.loss_weight = reduction, loss_weight
+
+    def forward(self, pred, target, weight=None, avg_factor=None):
+        loss = (pred - target).abs()
+        return self.loss_weight * weight_reduce_loss(
+            loss, weight, self.reduction, avg_factor)
+
+
+class TorchGaussianFocalLoss(nn.Module):
+    """mmdet GaussianFocalLoss (CornerNet form, alpha=2 gamma=4)."""
+
+    def __init__(self, alpha=2.0, gamma=4.0, reduction='mean',
+                 loss_weight=1.0):
+        super().__init__()
+        self.alpha, self.gamma = alpha, gamma
+        self.reduction, self.loss_weight = reduction, loss_weight
+
+    def forward(self, pred, target, weight=None, avg_factor=None):
+        eps = 1e-12
+        pos_w = target.eq(1).float()
+        neg_w = (1 - target).pow(self.gamma)
+        loss = (-(pred + eps).log() * (1 - pred).pow(self.alpha) * pos_w
+                - (1 - pred + eps).log() * pred.pow(self.alpha) * neg_w
+                * (1 - pos_w))
+        return self.loss_weight * weight_reduce_loss(
+            loss, weight, self.reduction, avg_factor)
