@@ -254,13 +254,24 @@ class CenterHead:
             npos = jnp.maximum(jnp.sum(mask), 1.0)
 
             if self.yaw_mode and self.loss_gd is not None:
-                # GD loss on decoded boxes + L1 on aux (dir/vel) channels
-                dec = self.coder.decode_cells(
+                # GD loss on decoded boxes + L1 on aux (dir/vel) channels.
+                # z quirk, kept for reference parity: the reference decodes
+                # z as the RAW regressed channel (gravity-z, its coder's z
+                # passthrough) and GDLoss center_offset=(0,0,0.5) shifts by
+                # +h/2 AGAIN — so its CenterGD Gaussians compare TOP
+                # centers (gd_centerpoint_head.py:423-424 + GDLoss default
+                # center_offset).  decode_cells emits bottom-z; re-add h/2
+                # to hand GDLoss the same raw-z rows the reference does
+                # (verified by test_centergd_head_loss_matches_reference).
+                def _raw_z(boxes):
+                    return boxes.at[..., 2].add(boxes[..., 5] * 0.5)
+
+                dec = _raw_z(self.coder.decode_cells(
                     gathered, tgt['inds'][..., 0], tgt['inds'][..., 1],
-                    correct_yaw=False)[..., :7]
-                tgt_dec = self.coder.decode_cells(
+                    correct_yaw=False)[..., :7])
+                tgt_dec = _raw_z(self.coder.decode_cells(
                     tgt['anno'], tgt['inds'][..., 0], tgt['inds'][..., 1],
-                    correct_yaw=False)[..., :7]
+                    correct_yaw=False)[..., :7])
                 losses[f'task{t}.loss_gd'] = self.loss_gd(
                     dec.reshape(-1, 7), tgt_dec.reshape(-1, 7),
                     weight=mask.reshape(-1), avg_factor=npos)

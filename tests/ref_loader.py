@@ -381,3 +381,30 @@ def load_centerpoint_coder():
         return _load_as(
             '/root/reference/mmdet3d_gaussian/core/bbox/coders/'
             'centerpoint_bbox_coders.py', 'ref_cp_coder_for_head')
+
+
+def load_centerpoint_yaw_coder():
+    """Load the reference ``centerpoint_bbox_yaw_coders.py`` (needs the base
+    CenterPointBBoxCoderRev importable from its parent package)."""
+    class _Base:
+        def __init__(self, *a, **k):
+            pass
+
+    base_dir = '/root/reference/mmdet3d_gaussian/core/bbox/coders/'
+    stubs = {
+        'mmdet': _mod('mmdet'),
+        'mmdet.core': _mod('mmdet.core'),
+        'mmdet.core.bbox': _mod('mmdet.core.bbox', BaseBBoxCoder=_Base),
+        'mmdet.core.bbox.builder': _mod('mmdet.core.bbox.builder',
+                                        BBOX_CODERS=_NoopRegistry()),
+    }
+    pkg = _mod('refcpcoders')
+    pkg.__path__ = []
+    stubs['refcpcoders'] = pkg
+    with _stubbed(stubs):
+        base = _load_as(base_dir + 'centerpoint_bbox_coders.py',
+                        'refcpcoders.centerpoint_bbox_coders')
+        pkg.CenterPointBBoxCoderRev = base.CenterPointBBoxCoderRev
+        yaw = _load_as(base_dir + 'centerpoint_bbox_yaw_coders.py',
+                       'refcpcoders.centerpoint_bbox_yaw_coders')
+    return yaw

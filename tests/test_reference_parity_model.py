@@ -840,3 +840,95 @@ def test_centerhead_loss_matches_reference():
         np.testing.assert_allclose(
             float(our_losses[f'task{t}.loss_bbox']),
             float(ref_losses[f'task{t}.loss_bbox']), rtol=1e-4)
+
+
+def test_centergd_head_loss_matches_reference():
+    """CenterGDHead loss parity (reference ``gd_centerpoint_head.py:389-443``):
+    heatmap focal + L1 on (sin dir, cos dir) aux channels + GDLoss on
+    decoded raw-yaw boxes, same gt + prediction maps on both sides."""
+    import jax
+    import jax.numpy as jnp
+    from mmdet3d_gaussian_tpu.models.dense_heads.centerpoint_head import (
+        CenterHead as OurCenterHead)
+
+    pc_range = (-25.6, -25.6, -5.0, 25.6, 25.6, 3.0)
+    voxel_size = (0.2, 0.2, 8.0)
+    factor = 4
+    fm = 64
+    class_names = [['car', 'truck']]
+    l1_weights = [0.2, 0.2]
+
+    rng = _rng(31)
+    g = 8
+    gx = (rng.permutation(fm - 8)[:g] + 4) * 0.8 - 25.6 + rng.rand(g) * 0.3
+    gy = (rng.permutation(fm - 8)[:g] + 4) * 0.8 - 25.6 + rng.rand(g) * 0.3
+    rows = np.c_[gx, gy, rng.uniform(-2, -1, g),
+                 rng.uniform(1.5, 4.5, g), rng.uniform(1.5, 4.5, g),
+                 rng.uniform(1.2, 2.0, g),
+                 rng.uniform(-3.0, 3.0, g)].astype(np.float32)
+    labels = rng.randint(0, 2, g).astype(np.int64)
+
+    preds_np = dict(
+        heatmap=rng.randn(1, 2, fm, fm).astype(np.float32),
+        reg=rng.rand(1, 2, fm, fm).astype(np.float32),
+        height=rng.uniform(-2, 0, (1, 1, fm, fm)).astype(np.float32),
+        dim=(0.3 * rng.randn(1, 3, fm, fm) + 0.8).astype(np.float32),
+        yaw=rng.uniform(-3, 3, (1, 1, fm, fm)).astype(np.float32),
+        dir=rng.randn(1, 2, fm, fm).astype(np.float32))
+
+    # ---- reference
+    head_mod = ref_loader.load_gd_centerpoint_head()
+    yaw_mod = ref_loader.load_centerpoint_yaw_coder()
+    gd_mod = ref_loader.load_gd_loss()
+    ref_head = ref_loader.make_ref_center_head(
+        head_mod, class_names,
+        dict(grid_size=[fm * factor, fm * factor, 1],
+             point_cloud_range=list(pc_range), voxel_size=list(voxel_size),
+             out_size_factor=factor, gaussian_overlap=0.1, min_radius=2,
+             code_weights=l1_weights))
+    ref_head.__class__ = head_mod.CenterGDHead        # use GD loss/recon
+    ref_head.loss_cls = oracles.TorchGaussianFocalLoss(loss_weight=1.0)
+    ref_head.loss_bbox = oracles.TorchL1Loss(loss_weight=0.25)
+    ref_head.loss_gd = gd_mod.GDLoss(loss_type='kld3d', fun='log1p',
+                                     tau=1.0, loss_weight=5.0)
+    ref_head.bbox_coder = yaw_mod.CenterPointBBoxYawCoder(
+        pc_range=pc_range, out_size_factor=factor, voxel_size=voxel_size)
+    ref_losses = ref_head.loss(
+        [ref_loader.FakeLiDARBoxes(torch.tensor(rows))],
+        [torch.tensor(labels)],
+        [[{k: torch.tensor(v) for k, v in preds_np.items()}]])
+
+    # ---- ours (yaw_mode): the reference regresses gravity-z in the height
+    # channel and decodes it raw; our decode_cells emits bottom-z and the
+    # GD loss re-adds 0.5*dz — identical gravity-center Gaussians.
+    pad = 16
+    gt = np.zeros((pad, 7), np.float32)
+    gt[:g] = rows
+    lab = np.zeros((pad,), np.int32)
+    lab[:g] = labels
+    valid = np.zeros((pad,), bool)
+    valid[:g] = True
+    our_head = OurCenterHead(
+        tasks=[dict(num_classes=2)], pc_range=pc_range,
+        voxel_size=voxel_size, out_size_factor=factor, max_objs=pad,
+        yaw_mode=True,
+        code_weights=[0.] * 7 + l1_weights,
+        loss_bbox=dict(type='L1Loss', loss_weight=0.25),
+        loss_gd=dict(type='GDLoss', loss_type='kld3d', fun='log1p',
+                     tau=1.0, loss_weight=5.0))
+    tgt = our_head.get_targets_single(jnp.asarray(gt), jnp.asarray(lab),
+                                      jnp.asarray(valid), (fm, fm))
+    tgt_b = jax.tree_util.tree_map(lambda x: x[None], tgt)
+    our_preds = [{k: jnp.asarray(np.moveaxis(v, 1, -1))
+                  for k, v in preds_np.items()}]
+    our_losses = our_head.loss(our_preds, tgt_b)
+
+    np.testing.assert_allclose(float(our_losses['task0.loss_heatmap']),
+                               float(ref_losses['task0.loss_heatmap']),
+                               rtol=1e-4)
+    np.testing.assert_allclose(float(our_losses['task0.loss_l1']),
+                               float(ref_losses['task0.loss_l1']),
+                               rtol=1e-4)
+    np.testing.assert_allclose(float(our_losses['task0.loss_gd']),
+                               float(ref_losses['task0.loss_gd']),
+                               rtol=1e-4, atol=1e-6)
