@@ -65,6 +65,7 @@ class TorchScatter:
         else:
             batch = coors[:, 0].long()
             sp = coors[:, 1:]
+        self.batch_size = int(batch.max().item()) + 1 if n else 1
         invalid = (sp < 0).any(dim=-1)
         key = torch.cat([batch.view(-1, 1), sp.long()], dim=-1)
         # push invalid rows to a sentinel so unique keeps them out
@@ -408,3 +409,52 @@ def load_centerpoint_yaw_coder():
         yaw = _load_as(base_dir + 'centerpoint_bbox_yaw_coders.py',
                        'refcpcoders.centerpoint_bbox_yaw_coders')
     return yaw
+
+
+def load_pillar_mvf():
+    """Load the reference ``pillar_mvf_encoder.py`` (PillarMVFFeatureNet +
+    SingleViewNet) with upstream pieces from tests/torch_oracles.py."""
+    stubs = {
+        'mmcv': _mod('mmcv'),
+        'mmcv.cnn': _mod('mmcv.cnn',
+                         build_norm_layer=oracles.build_norm_layer,
+                         build_upsample_layer=oracles.build_upsample_layer),
+        'mmcv.runner': _mod('mmcv.runner',
+                            force_fp32=_noop_decorator_factory,
+                            auto_fp16=_noop_decorator_factory),
+        'mmdet': _mod('mmdet'),
+        'mmdet.models': _mod('mmdet.models'),
+        'mmdet.models.backbones': _mod('mmdet.models.backbones'),
+        'mmdet.models.backbones.resnet': _mod(
+            'mmdet.models.backbones.resnet',
+            BasicBlock=oracles.BasicBlockOracle),
+        'mmdet3d': _mod('mmdet3d'),
+        'mmdet3d.models': _mod('mmdet3d.models'),
+        'mmdet3d.models.builder': _mod('mmdet3d.models.builder',
+                                       VOXEL_ENCODERS=_NoopRegistry()),
+        'mmdet3d.models.middle_encoders': _mod(
+            'mmdet3d.models.middle_encoders',
+            PointPillarsScatter=oracles.TorchPointPillarsScatter),
+        'mmdet3d.models.voxel_encoders': _mod(
+            'mmdet3d.models.voxel_encoders'),
+        'mmdet3d.models.voxel_encoders.utils': _mod(
+            'mmdet3d.models.voxel_encoders.utils',
+            PFNLayer=oracles.PFNLayer,
+            get_paddings_indicator=oracles.get_paddings_indicator),
+    }
+    pkg = _mod('refmvf')
+    pkg.__path__ = []
+    ops = _mod('refmvf.ops', Scatter=TorchScatter)
+    models = _mod('refmvf.models')
+    models.__path__ = []
+    enc = _mod('refmvf.models.voxel_encoders')
+    enc.__path__ = []
+    stubs.update({'refmvf': pkg, 'refmvf.ops': ops,
+                  'refmvf.models': models,
+                  'refmvf.models.voxel_encoders': enc})
+    with _stubbed(stubs):
+        _load_as(f'{REF_ROOT}/models/voxel_encoders/utils.py',
+                 'refmvf.models.voxel_encoders.utils')
+        return _load_as(
+            f'{REF_ROOT}/models/voxel_encoders/pillar_mvf_encoder.py',
+            'refmvf.models.voxel_encoders.pillar_mvf_encoder')

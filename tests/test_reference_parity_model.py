@@ -932,3 +932,179 @@ def test_centergd_head_loss_matches_reference():
     np.testing.assert_allclose(float(our_losses['task0.loss_gd']),
                                float(ref_losses['task0.loss_gd']),
                                rtol=1e-4, atol=1e-6)
+
+
+# ---------------------------------------------------------------------- mvf
+def test_mvf_encoder_matches_reference():
+    """PillarMVFFeatureNet parity with transplanted weights (reference
+    ``pillar_mvf_encoder.py:14-248``): two views (cartesian + cylindrical),
+    per-view stats + pointnet -> pillar scatter -> BasicBlock tower with
+    deconv fusion -> grid_sample back to points -> pointnet cascade ->
+    reduce on view-0 pillars.  Upstream BasicBlock / PointPillarsScatter /
+    build_upsample_layer transcribed in tests/torch_oracles.py; grid_sample
+    is torch-native on the reference side vs our bilinear_sample_zeros.
+
+    Note: the reference's cross-view invalid masking (forward :217-225) is
+    a silent no-op (`coors[flag][:, -3:] = -1` writes into a copy); this
+    test keeps every point valid in both views, where intent == actual.
+    """
+    import math
+    import flax
+    import jax
+    import jax.numpy as jnp
+    from mmdet3d_gaussian_tpu.models.mvf_encoder import PillarMVFFeatureNet
+
+    fc = 8
+    pcr_cart = (0.0, -12.8, -3.0, 25.6, 12.8, 1.0)
+    vs_cart = (0.8, 0.8, 4.0)
+    pcr_cyl = (-math.pi, -3.0, 0.0, math.pi, 1.0, 80.0)
+    vs_cyl = (2 * math.pi / 32, 0.125, 80.0)
+
+    rng = _rng(3)
+    b, n = 2, 256
+    pts = np.c_[rng.uniform(0.5, 25.0, (b * n, 1)),
+                rng.uniform(-12.0, 12.0, (b * n, 1)),
+                rng.uniform(-2.5, 0.5, (b * n, 1)),
+                rng.rand(b * n, 1)].astype(np.float32)
+
+    mvf_mod = ref_loader.load_pillar_mvf()
+    ref = mvf_mod.PillarMVFFeatureNet(
+        in_channels=4, feat_channels=fc,
+        voxel_size=[vs_cart, vs_cyl],
+        point_cloud_range=[list(pcr_cart), list(pcr_cyl)])
+    ref.eval()
+
+    def view_coords(vpts, pcr, vs):
+        c = np.floor((vpts[:, :3] - np.array(pcr[:3]))
+                     / np.array(vs)).astype(np.int64)
+        bidx = np.repeat(np.arange(b), n)
+        return np.c_[bidx, c[:, 2], c[:, 1], c[:, 0]]      # (b, z, y, x)
+
+    def to_cyl(p):
+        phi = np.arctan2(p[:, 1], p[:, 0])
+        rho = np.linalg.norm(p[:, :2], axis=-1)
+        return np.c_[phi, p[:, 2], rho, p[:, 3:]].astype(np.float32)
+
+    cyl = to_cyl(pts)
+    multi_features = [torch.tensor(pts), torch.tensor(cyl)]
+    multi_coors = [torch.tensor(view_coords(pts, pcr_cart, vs_cart)),
+                   torch.tensor(view_coords(cyl, pcr_cyl, vs_cyl))]
+
+    # ---- randomize reference weights, build our transplanted trees
+    params, stats = {}, {}
+
+    def lin_bn(seq, our_fc, our_bn, in_ch):
+        w = (rng.randn(fc, in_ch) * 0.2).astype(np.float32)
+        with torch.no_grad():
+            seq[0].weight.copy_(torch.tensor(w))
+        bn = _rand_bn_stats(rng, fc)
+        _set_bn(seq[1], bn)
+        p, s = _bn_tree(bn)
+        params[our_fc] = {'kernel': jnp.asarray(w.T)}
+        params[our_bn] = p
+        stats[our_bn] = s
+
+    in1 = 1 + 2 * ref.stats_cal[0].out_channels
+    lin_bn(ref.pointnet1, 'pointnet1_fc', 'pointnet1_bn', in1)
+    lin_bn(ref.pointnet2, 'pointnet2_fc', 'pointnet2_bn', fc)
+    lin_bn(ref.pointnet3, 'pointnet3_fc', 'pointnet3_bn', 3 * fc)
+
+    def conv_w(conv, scale=0.2, bias=False):
+        w = (rng.randn(*conv.weight.shape) * scale).astype(np.float32)
+        with torch.no_grad():
+            conv.weight.copy_(torch.tensor(w))
+            if bias:
+                cout = (conv.weight.shape[1]
+                        if isinstance(conv, torch.nn.ConvTranspose2d)
+                        else conv.weight.shape[0])
+                bt = (rng.randn(cout) * 0.1).astype(np.float32)
+                conv.bias.copy_(torch.tensor(bt))
+                return w, bt
+        return w, None
+
+    def block_tree(block, has_down):
+        t_p, t_s = {}, {}
+        for nm, conv, bnm in (('conv1', block.conv1, block.bn1),
+                              ('conv2', block.conv2, block.bn2)):
+            w, _ = conv_w(conv)
+            bn = _rand_bn_stats(rng, fc)
+            _set_bn(bnm, bn)
+            p, s = _bn_tree(bn)
+            t_p[nm] = {'kernel': jnp.asarray(w.transpose(2, 3, 1, 0))}
+            t_p['bn' + nm[-1]] = p
+            t_s['bn' + nm[-1]] = s
+        if has_down:
+            wd, _ = conv_w(block.downsample[0])
+            bnd = _rand_bn_stats(rng, fc)
+            _set_bn(block.downsample[1], bnd)
+            pd, sd = _bn_tree(bnd)
+            t_p['down_conv'] = {'kernel': jnp.asarray(
+                wd.transpose(2, 3, 1, 0))}
+            t_p['down_bn'] = pd
+            t_s['down_bn'] = sd
+        return t_p, t_s
+
+    for vi, vname in enumerate(('cartesian', 'cylindrical')):
+        vp, vs_tree = {}, {}
+        vn = ref.view_nets[vi]
+        w = (rng.randn(fc, fc) * 0.2).astype(np.float32)
+        with torch.no_grad():
+            vn.pointnet[0].weight.copy_(torch.tensor(w))
+        bn = _rand_bn_stats(rng, fc)
+        _set_bn(vn.pointnet[1], bn)
+        p, s = _bn_tree(bn)
+        vp['pointnet'] = {'kernel': jnp.asarray(w.T)}
+        vp['pointnet_bn'] = p
+        vs_tree['pointnet_bn'] = s
+        for rname, has_down in (('res1', False), ('res2', True),
+                                ('res3', True)):
+            bp, bs = block_tree(getattr(vn, rname), has_down)
+            vp[rname] = bp
+            vs_tree[rname] = bs
+        for dname in ('deconv2', 'deconv3'):
+            w, _ = conv_w(getattr(vn, dname))
+            vp[dname] = {'kernel': jnp.asarray(
+                w[:, :, ::-1, ::-1].transpose(2, 3, 0, 1).copy())}
+        wf, bf = conv_w(vn.conv, bias=True)
+        vp['fuse_conv'] = {'kernel': jnp.asarray(wf.transpose(2, 3, 1, 0)),
+                           'bias': jnp.asarray(bf)}
+        params[f'view_{vname}'] = vp
+        stats[f'view_{vname}'] = vs_tree
+
+    with torch.no_grad():
+        ref_vox, ref_coors = ref(multi_features, multi_coors)
+    ref_vox, ref_coors = ref_vox.numpy(), ref_coors.numpy()
+
+    # ---- ours with the transplanted weights
+    enc = PillarMVFFeatureNet(in_channels=4, feat_channels=fc,
+                              views=('cartesian', 'cylindrical'),
+                              voxel_size=(vs_cart, vs_cyl),
+                              point_cloud_range=(pcr_cart, pcr_cyl),
+                              max_voxels=1024)
+    pts_b = jnp.asarray(pts.reshape(b, n, 4))
+    mask_b = jnp.ones((b, n), bool)
+    variables = enc.init(jax.random.PRNGKey(0), pts_b, mask_b, train=False)
+    var_p = flax.core.unfreeze(variables['params'])
+    var_s = flax.core.unfreeze(variables['batch_stats'])
+
+    def deep_update(dst, src):
+        for k, v in src.items():
+            if isinstance(v, dict):
+                deep_update(dst[k], v)
+            else:
+                dst[k] = jnp.asarray(v)
+
+    deep_update(var_p, params)
+    deep_update(var_s, stats)
+    pillar, coords, _ = enc.apply({'params': var_p, 'batch_stats': var_s},
+                                  pts_b, mask_b, train=False)
+    pillar, coords = np.asarray(pillar), np.asarray(coords)
+
+    live = coords[:, 0] >= 0
+    our_rows = {(int(c[0]), int(c[1]), int(c[2])): pillar[r]
+                for r, c in enumerate(coords) if live[r]}
+    assert len(our_rows) == len(ref_coors)
+    for r in range(len(ref_coors)):
+        bb, _, y, x = ref_coors[r]
+        np.testing.assert_allclose(our_rows[(int(bb), int(x), int(y))],
+                                   ref_vox[r], atol=2e-4)

@@ -383,3 +383,58 @@ class TorchGaussianFocalLoss(nn.Module):
                 * (1 - pos_w))
         return self.loss_weight * weight_reduce_loss(
             loss, weight, self.reduction, avg_factor)
+
+
+# --------------------------------------------------------------------- mvf
+class BasicBlockOracle(nn.Module):
+    """mmdet ResNet BasicBlock (conv3x3-BN-ReLU-conv3x3-BN + skip + ReLU),
+    signature-compatible with the reference's import at
+    pillar_mvf_encoder.py:10."""
+
+    def __init__(self, inplanes, planes, stride=1, downsample=None,
+                 norm_cfg=None, **kwargs):
+        super().__init__()
+        norm_cfg = norm_cfg or dict(type='BN2d', eps=1e-5, momentum=0.1)
+        self.conv1 = nn.Conv2d(inplanes, planes, 3, stride=stride,
+                               padding=1, bias=False)
+        self.bn1 = build_norm_layer(norm_cfg, planes)[1]
+        self.conv2 = nn.Conv2d(planes, planes, 3, padding=1, bias=False)
+        self.bn2 = build_norm_layer(norm_cfg, planes)[1]
+        self.relu = nn.ReLU(inplace=True)
+        self.downsample = downsample
+
+    def forward(self, x):
+        identity = x
+        out = self.relu(self.bn1(self.conv1(x)))
+        out = self.bn2(self.conv2(out))
+        if self.downsample is not None:
+            identity = self.downsample(x)
+        return self.relu(out + identity)
+
+
+class TorchPointPillarsScatter(nn.Module):
+    """mmdet3d PointPillarsScatter: scatter (V, C) pillar features onto a
+    dense (B, C, ny, nx) canvas by (batch, z, y, x) coords."""
+
+    def __init__(self, in_channels, output_shape):
+        super().__init__()
+        self.in_channels = in_channels
+        self.ny, self.nx = output_shape
+
+    def forward(self, voxel_features, coors, batch_size):
+        batch_size = int(batch_size)
+        canvas = voxel_features.new_zeros(
+            (batch_size, self.in_channels, self.ny * self.nx))
+        for b in range(batch_size):
+            m = coors[:, 0] == b
+            idx = (coors[m, 2].long() * self.nx + coors[m, 3].long())
+            canvas[b, :, idx] = voxel_features[m].t()
+        return canvas.view(batch_size, self.in_channels, self.ny, self.nx)
+
+
+def build_upsample_layer(cfg, in_channels, out_channels, kernel_size,
+                         stride):
+    """mmcv build_upsample_layer for type='deconv'."""
+    assert cfg.get('type', 'deconv') == 'deconv'
+    return nn.ConvTranspose2d(in_channels, out_channels, kernel_size,
+                              stride=stride, bias=cfg.get('bias', True))
