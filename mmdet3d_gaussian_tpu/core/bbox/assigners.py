@@ -163,21 +163,32 @@ def assign_per_class_vectorized(anchors_cls, gt_bboxes, gt_labels, gt_valid,
 class SimOTABEVAssigner:
     """SimOTA in BEV (reference ``sim_ota_3d_assigner.py:10-211``), jit-safe.
 
-    Candidate gating: prior center inside a gt box (z-extruded) OR within
-    ``center_radius * stride`` of the gt center.  Cost per (gt, prior):
-    ``BCE(sqrt(cls_score)) + 3 * (-log(iou))`` plus a large clamp for priors
-    failing the in-box-and-center test (reference :101-107).  Dynamic-k:
-    ``clamp(sum(topk10 ious), min=1)`` per gt (reference :184-211) —
-    implemented with fixed-size top-k + rank masking.
+    Reference semantics, exactly:
+
+    * a prior is a CANDIDATE if its center is inside ANY gt box
+      (z-extruded) or within ``center_radius`` (absolute metres, max-norm —
+      NOT stride-scaled like mmdet's 2D SimOTA) of ANY gt center
+      (``get_in_gt_and_in_center_info``, :157-182); candidates may match
+      any gt, not just the one that gated them;
+    * cost per (gt, candidate) = ``cls_weight * BCE(sqrt(score), onehot)
+      + iou_weight * (-log(iou + eps))``; entries where the prior is inside
+      THAT gt's box AND center window are clamped to ``max=match_init``
+      (:101-107);
+    * dynamic-k = ``clamp(int(sum(top-10 ious)), min=1)`` per gt, lowest-
+      cost k candidates matched, multi-matched priors resolved by min cost
+      (:184-211) — implemented with fixed-size top-k + rank masking.
     """
 
-    def __init__(self, center_radius: float = 2.5, candidate_topk: int = 10,
+    EPS = 1e-8
+
+    def __init__(self, center_radius: float = 0.5, candidate_topk: int = 10,
                  iou_weight: float = 3.0, cls_weight: float = 1.0,
-                 use_box_gate: bool = True):
+                 match_init: float = 2.0, use_box_gate: bool = True):
         self.center_radius = center_radius
         self.candidate_topk = candidate_topk
         self.iou_weight = iou_weight
         self.cls_weight = cls_weight
+        self.match_init = match_init
         self.use_box_gate = use_box_gate
 
     def assign(self, priors, cls_scores, ious, gt_bboxes, gt_labels,
@@ -188,15 +199,19 @@ class SimOTABEVAssigner:
         num_gt, num_priors = ious.shape
 
         centers = priors[:, 0:2]
-        stride = priors[:, 2]
         if self.use_box_gate:
             in_box = points_in_boxes_bev(centers, gt_bboxes).T       # (G, A)
         else:
             in_box = jnp.zeros((num_gt, num_priors), bool)
+        in_box = in_box & gt_valid[:, None]
         d = jnp.abs(centers[None, :, :] - gt_bboxes[:, None, 0:2])
-        in_center = jnp.all(
-            d < (self.center_radius * stride)[None, :, None], axis=-1)
-        gate = (in_box | in_center) & gt_valid[:, None]
+        # absolute metric radius, max-norm (reference :171 — no stride scale)
+        in_center = (jnp.max(d, axis=-1) < self.center_radius) \
+            & gt_valid[:, None]
+        # global candidate set: in ANY gt box or center window (:177);
+        # candidates can match any gt
+        valid = jnp.any(in_box, axis=0) | jnp.any(in_center, axis=0)  # (A,)
+        gate = valid[None, :] & gt_valid[:, None]
         strong = in_box & in_center
 
         onehot = jax.nn.one_hot(gt_labels, cls_scores.shape[-1],
@@ -205,12 +220,13 @@ class SimOTABEVAssigner:
         bce = -(onehot[:, None, :] * jnp.log(p)[None]
                 + (1 - onehot[:, None, :]) * jnp.log(1 - p)[None])
         cls_cost = jnp.sum(bce, axis=-1)                             # (G, A)
-        iou_cost = -jnp.log(jnp.clip(ious, 1e-8))
-        cost = (self.cls_weight * cls_cost + self.iou_weight * iou_cost
-                + jnp.where(strong, 0.0, 100000.0))
+        iou_cost = -jnp.log(ious + self.EPS)
+        cost = self.cls_weight * cls_cost + self.iou_weight * iou_cost
+        # in-box-and-center entries start the auction at match_init (:106)
+        cost = jnp.where(strong, jnp.minimum(cost, self.match_init), cost)
         cost = jnp.where(gate, cost, 1e18)
 
-        # dynamic-k per gt
+        # dynamic-k per gt over the candidate set
         k = min(self.candidate_topk, num_priors)
         top_ious = jax.lax.top_k(jnp.where(gate, ious, 0.0), k)[0]   # (G, k)
         dynamic_k = jnp.clip(jnp.sum(top_ious, axis=-1).astype(jnp.int32),

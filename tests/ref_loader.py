@@ -458,3 +458,54 @@ def load_pillar_mvf():
         return _load_as(
             f'{REF_ROOT}/models/voxel_encoders/pillar_mvf_encoder.py',
             'refmvf.models.voxel_encoders.pillar_mvf_encoder')
+
+
+def load_sim_ota(iou3d_fn):
+    """Load the reference ``sim_ota_3d_assigner.py``.
+
+    iou3d_fn(det_np (N, 7), gt_np (G, 7)) -> (N, G) numpy 3D IoU stands in
+    for the upstream ``LiDARInstance3DBoxes.overlaps`` (CUDA); the assigner
+    logic under test is the gating / cost / dynamic-k protocol.
+    """
+    import numpy as _np
+
+    class _AssignResult:
+        def __init__(self, num_gts, gt_inds, max_overlaps, labels=None):
+            self.num_gts = num_gts
+            self.gt_inds = gt_inds
+            self.max_overlaps = max_overlaps
+            self.labels = labels
+
+    class _FakeBoxes:
+        def __init__(self, tensor, box_dim=7, with_yaw=True):
+            self.tensor = tensor
+
+        @staticmethod
+        def overlaps(a, b):
+            m = iou3d_fn(_np.asarray(a.tensor.detach(), _np.float64),
+                         _np.asarray(b.tensor.detach(), _np.float64))
+            return torch.tensor(m, dtype=torch.float32)
+
+    stubs = {
+        'mmdet': _mod('mmdet'),
+        'mmdet.core': _mod('mmdet.core'),
+        'mmdet.core.bbox': _mod('mmdet.core.bbox'),
+        'mmdet.core.bbox.assigners': _mod('mmdet.core.bbox.assigners',
+                                          BaseAssigner=object,
+                                          AssignResult=_AssignResult),
+        'mmdet.core.bbox.builder': _mod('mmdet.core.bbox.builder',
+                                        BBOX_ASSIGNERS=_NoopRegistry()),
+        'mmdet3d': _mod('mmdet3d'),
+        'mmdet3d.ops': _mod('mmdet3d.ops',
+                            points_in_boxes_all=oracles.points_in_boxes_all),
+        'mmdet3d.core': _mod('mmdet3d.core'),
+        'mmdet3d.core.bbox': _mod('mmdet3d.core.bbox'),
+        'mmdet3d.core.bbox.structures': _mod('mmdet3d.core.bbox.structures'),
+        'mmdet3d.core.bbox.structures.lidar_box3d': _mod(
+            'mmdet3d.core.bbox.structures.lidar_box3d',
+            LiDARInstance3DBoxes=_FakeBoxes),
+    }
+    with _stubbed(stubs):
+        return _load_as(
+            f'{REF_ROOT}/core/bbox/assigners/sim_ota_3d_assigner.py',
+            'ref_sim_ota')

@@ -438,3 +438,25 @@ def build_upsample_layer(cfg, in_channels, out_channels, kernel_size,
     assert cfg.get('type', 'deconv') == 'deconv'
     return nn.ConvTranspose2d(in_channels, out_channels, kernel_size,
                               stride=stride, bias=cfg.get('bias', True))
+
+
+def points_in_boxes_all(points, boxes):
+    """mmdet3d points_in_boxes_all transcription: points (B, N, 3), boxes
+    (B, T, 7) bottom-center z -> (B, N, T) 0/1 membership (yaw-rotated BEV
+    rect x z slab)."""
+    B, N, _ = points.shape
+    out = []
+    for b in range(B):
+        p = points[b]                                   # (N, 3)
+        bx = boxes[b]                                   # (T, 7)
+        dx = p[:, None, 0] - bx[None, :, 0]
+        dy = p[:, None, 1] - bx[None, :, 1]
+        c, s = torch.cos(bx[:, 6]), torch.sin(bx[:, 6])
+        lx = dx * c[None, :] + dy * s[None, :]
+        ly = -dx * s[None, :] + dy * c[None, :]
+        zin = ((p[:, None, 2] >= bx[None, :, 2])
+               & (p[:, None, 2] <= bx[None, :, 2] + bx[None, :, 5]))
+        inside = ((lx.abs() < bx[None, :, 3] / 2)
+                  & (ly.abs() < bx[None, :, 4] / 2) & zin)
+        out.append(inside.to(torch.int32))
+    return torch.stack(out)
