@@ -509,3 +509,58 @@ def load_sim_ota(iou3d_fn):
         return _load_as(
             f'{REF_ROOT}/core/bbox/assigners/sim_ota_3d_assigner.py',
             'ref_sim_ota')
+
+
+def load_pointwise_mask_head():
+    """Load the reference ``pointwise_mask_head.py``.  Returns the module;
+    gt boxes passed to ``get_targets`` must provide ``enlarged_box`` /
+    ``points_in_boxes_part`` (see :class:`FakePartBoxes`)."""
+
+    class _BaseModule(nn.Module):
+        def __init__(self, init_cfg=None):
+            super().__init__()
+
+    stubs = {
+        'mmcv': _mod('mmcv'),
+        'mmcv.runner': _mod('mmcv.runner', BaseModule=_BaseModule),
+        'mmcv.cnn': _mod('mmcv.cnn'),
+        'mmcv.cnn.bricks': _mod('mmcv.cnn.bricks',
+                                build_norm_layer=oracles.build_norm_layer),
+        'mmdet': _mod('mmdet'),
+        'mmdet.core': _mod('mmdet.core', multi_apply=oracles.multi_apply),
+        'mmdet.models': _mod('mmdet.models', HEADS=_NoopRegistry()),
+        'mmdet3d': _mod('mmdet3d'),
+        'mmdet3d.models': _mod('mmdet3d.models'),
+        'mmdet3d.models.builder': _mod(
+            'mmdet3d.models.builder',
+            build_loss=lambda cfg: oracles.build_loss_oracle(cfg)),
+    }
+    with _stubbed(stubs):
+        return _load_as(
+            f'{REF_ROOT}/models/roi_heads/mask_heads/pointwise_mask_head.py',
+            'ref_pointwise_mask_head')
+
+
+class FakePartBoxes:
+    """Minimal LiDARInstance3DBoxes for PointwiseMaskHead.get_targets:
+    bottom-center z rows + mmdet3d ``enlarged_box`` (dims + 2w, z - w) and
+    ``points_in_boxes_part`` (first containing box, -1 otherwise)."""
+
+    def __init__(self, tensor):
+        self.tensor = tensor
+
+    def to(self, device):
+        return self
+
+    def enlarged_box(self, extra_width):
+        t = self.tensor.clone()
+        t[:, 3:6] += 2 * extra_width
+        t[:, 2] -= extra_width
+        return FakePartBoxes(t)
+
+    def points_in_boxes_part(self, xyz):
+        inside = oracles.points_in_boxes_all(
+            xyz[None], self.tensor[None])[0] > 0          # (N, T)
+        any_in = inside.any(-1)
+        first = inside.float().argmax(-1)
+        return torch.where(any_in, first, torch.full_like(first, -1))

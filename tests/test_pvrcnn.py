@@ -402,3 +402,45 @@ def test_get_bboxes_no_candidate_truncation():
     # two kept detections: the merged strong object and the weak one
     assert v.sum() == 2, (v.sum(), np.asarray(scores))
     assert kept_x[-1] > 30.0  # the far weak object survived
+
+
+def test_mask_head_targets_match_reference():
+    """PointwiseMaskHead target parity vs the reference torch source
+    (``pointwise_mask_head.py:62-123``): first-containing-box labels,
+    enlarged-box ignore ring, background = num_classes."""
+    import torch
+    from tests import ref_loader
+    from mmdet3d_gaussian_tpu.models.roi_heads import PointwiseMaskHead
+
+    rng = np.random.RandomState(9)
+    b, m, g = 2, 128, 5
+    kp = rng.uniform(-10, 10, (b, m, 3)).astype(np.float32)
+    kp[..., 2] = rng.uniform(-2.2, 0.5, (b, m))
+    boxes = np.stack([np.c_[rng.uniform(-8, 8, (g, 2)),
+                            rng.uniform(-2, -1.2, (g, 1)),
+                            rng.uniform(2, 5, (g, 2)),
+                            rng.uniform(1.2, 1.8, (g, 1)),
+                            rng.uniform(-3, 3, (g, 1))]
+                      for _ in range(b)]).astype(np.float32)
+    labels = rng.randint(0, 3, (b, g))
+
+    mod = ref_loader.load_pointwise_mask_head()
+    head_ref = mod.PointwiseMaskHead(in_channels=8, num_classes=3,
+                                     mlps=(8,), extra_width=0.2,
+                                     class_agnostic=True)
+    bxyz = torch.tensor(np.c_[np.repeat(np.arange(b), m),
+                              kp.reshape(-1, 3)].astype(np.float32))
+    tgt_ref = head_ref.get_targets(
+        bxyz, [ref_loader.FakePartBoxes(torch.tensor(boxes[i]))
+               for i in range(b)],
+        [torch.tensor(labels[i]) for i in range(b)])
+    ref_seg = tgt_ref['seg_targets'].numpy().reshape(b, m)
+
+    ours = PointwiseMaskHead(num_classes=3, extra_width=0.2)
+    our_seg = np.asarray(ours.get_targets(
+        jnp.asarray(kp), jnp.asarray(boxes),
+        jnp.asarray(labels.astype(np.int32)), jnp.ones((b, g), bool)))
+    np.testing.assert_array_equal(our_seg, ref_seg)
+    # sanity: the case exercises all three target kinds
+    assert (ref_seg == -1).any() and (ref_seg == 3).any() \
+        and ((ref_seg >= 0) & (ref_seg < 3)).any()
