@@ -66,7 +66,8 @@ def ball_query(radius: float, nsample: int, support_xyz, query_xyz,
         support_mask = jnp.ones((n,), bool)
     d2 = jnp.sum(
         (query_xyz[:, None, :] - support_xyz[None, :, :]) ** 2, axis=-1)
-    in_ball = (d2 <= radius * radius) & support_mask[None, :]   # (M, N)
+    # STRICT inequality like the kernel (ball_query.cu:58 `d2 < radius2`)
+    in_ball = (d2 < radius * radius) & support_mask[None, :]    # (M, N)
 
     # first nsample hits by ascending support index
     rank = jnp.where(in_ball, jnp.arange(n, dtype=jnp.int32)[None, :], n)

@@ -564,3 +564,41 @@ class FakePartBoxes:
         any_in = inside.any(-1)
         first = inside.float().argmax(-1)
         return torch.where(any_in, first, torch.full_like(first, -1))
+
+
+def load_voxel_set_abstraction():
+    """Load the reference ``voxel_set_abstraction.py`` with the vsa ops
+    replaced by the transcribed torch oracles."""
+
+    def _is_norm(m):
+        return isinstance(m, (nn.BatchNorm1d, nn.BatchNorm2d))
+
+    stubs = {
+        'mmcv': _mod('mmcv'),
+        'mmcv.cnn': _mod('mmcv.cnn'),
+        'mmcv.cnn.bricks': _mod('mmcv.cnn.bricks',
+                                build_norm_layer=oracles.build_norm_layer,
+                                is_norm=_is_norm),
+        'mmdet3d': _mod('mmdet3d'),
+        'mmdet3d.models': _mod('mmdet3d.models'),
+        'mmdet3d.models.builder': _mod('mmdet3d.models.builder',
+                                       MIDDLE_ENCODERS=_NoopRegistry()),
+    }
+    pkg = _mod('refvsa')
+    pkg.__path__ = []
+    models = _mod('refvsa.models')
+    models.__path__ = []
+    mid = _mod('refvsa.models.middle_encoders')
+    mid.__path__ = []
+    ops = _mod('refvsa.ops')
+    ops.__path__ = []
+    vsa_ops = _mod('refvsa.ops.vsa',
+                   QueryAndGroup=oracles.QueryAndGroupOracle,
+                   furthest_point_sample=oracles.furthest_point_sample)
+    stubs.update({'refvsa': pkg, 'refvsa.models': models,
+                  'refvsa.models.middle_encoders': mid,
+                  'refvsa.ops': ops, 'refvsa.ops.vsa': vsa_ops})
+    with _stubbed(stubs):
+        return _load_as(
+            f'{REF_ROOT}/models/middle_encoders/voxel_set_abstraction.py',
+            'refvsa.models.middle_encoders.voxel_set_abstraction')

@@ -111,3 +111,146 @@ def test_voxel_set_abstraction_end_to_end():
     # keypoints come only from valid points
     kp = np.asarray(out['keypoints'])
     assert kp[:, :, 0].max() <= 2.0 + 1e-5
+
+
+def test_vsa_matches_reference():
+    """VoxelSetAbstraction parity vs the reference torch source
+    (``voxel_set_abstraction.py:94-329``) with transplanted weights: FPS
+    keypoints identical; BEV interpolation ('half' align), rawpoint +
+    voxel-level MSG set abstraction and the fusion MLP allclose.  The vsa
+    CUDA kernels are transcribed torch oracles (ball_query.cu strict d2<r^2,
+    first-hit padding; sampling.cu greedy FPS from index 0)."""
+    import types
+    import flax
+    import torch
+    from tests import ref_loader
+    from tests.test_reference_parity_model import (_rand_bn_stats, _set_bn,
+                                                   _bn_tree)
+    from mmdet3d_gaussian_tpu.models.middle_encoders import \
+        VoxelSetAbstraction
+    from mmdet3d_gaussian_tpu.ops.sparse_conv import SparseTensor
+
+    rng = np.random.RandomState(7)
+    b, n, m = 2, 600, 64
+    vs = (0.1, 0.1, 0.1)
+    pcr = (0.0, -8.0, -3.0, 16.0, 8.0, 1.0)
+    c_raw, c_vox, c_bev, out_ch = 1, 16, 16, 32
+
+    pts = np.c_[rng.uniform(1, 15, (b, n, 1)),
+                rng.uniform(-7, 7, (b, n, 1)),
+                rng.uniform(-2.5, 0.5, (b, n, 1)),
+                rng.rand(b, n, c_raw)].astype(np.float32)
+
+    sf = 2
+    idx_list = []
+    for i in range(b):
+        c = np.floor((pts[i, :, :3] - np.array(pcr[:3]))
+                     / (np.array(vs) * sf)).astype(np.int64)
+        u = np.unique(np.c_[np.full(len(c), i), c[:, 2], c[:, 1], c[:, 0]],
+                      axis=0)
+        idx_list.append(u)
+    vox_idx = np.concatenate(idx_list, 0)
+    v = len(vox_idx)
+    vox_feats = (rng.randn(v, c_vox) * 0.5).astype(np.float32)
+    bev = (rng.randn(b, c_bev, 40, 40) * 0.5).astype(np.float32)
+
+    voxel_sa_cfg = dict(in_channels=c_vox, pool_radius=(1.2, 2.4),
+                        samples=(8, 8), mlps=((8, 8), (8, 8)),
+                        scale_factor=sf)
+    raw_cfg = dict(in_channels=c_raw, pool_radius=(1.2, 2.4),
+                   samples=(8, 8), mlps=((8, 8), (8, 8)))
+    bev_cfg = dict(in_channels=c_bev, scale_factor=4)
+
+    mod = ref_loader.load_voxel_set_abstraction()
+    ns = types.SimpleNamespace
+    ref = mod.VoxelSetAbstraction(
+        num_keypoints=m, out_channels=out_ch, voxel_size=list(vs),
+        point_cloud_range=list(pcr),
+        voxel_sa_configs=[ns(**voxel_sa_cfg)],
+        rawpoint_sa_config=ns(**raw_cfg), bev_sa_config=ns(**bev_cfg),
+        voxel_center_align='half')
+    ref.eval()
+
+    params, stats = {}, {}
+
+    def sa_tree(sa_module, our_name, mlps):
+        t_p, t_s = {}, {}
+        for i, mlp in enumerate(mlps):
+            seq = sa_module.mlps[i]
+            for j, ch in enumerate(mlp):
+                conv, bnm = seq[3 * j], seq[3 * j + 1]
+                w = (rng.randn(*conv.weight.shape) * 0.3).astype(np.float32)
+                with torch.no_grad():
+                    conv.weight.copy_(torch.tensor(w))
+                bn = _rand_bn_stats(rng, ch)
+                _set_bn(bnm, bn)
+                p, s = _bn_tree(bn)
+                t_p[f'scale{i}_mlp{j}'] = {
+                    'kernel': jnp.asarray(w[:, :, 0].T)}
+                t_p[f'scale{i}_bn{j}'] = p
+                t_s[f'scale{i}_bn{j}'] = s
+        params[our_name], stats[our_name] = t_p, t_s
+
+    sa_tree(ref.rawpoints_sa_layer, 'rawpoints_sa', raw_cfg['mlps'])
+    sa_tree(ref.voxel_sa_layers[0], 'voxel_sa_0', voxel_sa_cfg['mlps'])
+    wf = (rng.randn(out_ch, ref.vsa_point_feature_fusion[0].in_features)
+          * 0.2).astype(np.float32)
+    with torch.no_grad():
+        ref.vsa_point_feature_fusion[0].weight.copy_(torch.tensor(wf))
+    bnf = _rand_bn_stats(rng, out_ch)
+    _set_bn(ref.vsa_point_feature_fusion[1], bnf)
+    pf, sfb = _bn_tree(bnf)
+    params['fusion'] = {'kernel': jnp.asarray(wf.T)}
+    params['fusion_bn'], stats['fusion_bn'] = pf, sfb
+
+    class FakeSparse:
+        def __init__(self, indices, features):
+            self.indices, self.features = indices, features
+
+    with torch.no_grad():
+        out_ref = ref(
+            [FakeSparse(torch.tensor(vox_idx), torch.tensor(vox_feats))],
+            points=[torch.tensor(pts[i]) for i in range(b)],
+            coors=None, bev_encode_features=torch.tensor(bev))
+    kp_ref = out_ref['keypoints'].numpy()[:, 1:].reshape(b, m, 3)
+    fused_ref = out_ref['fusion_keypoint_features'].numpy().reshape(
+        b, m, out_ch)
+    gathered_ref = out_ref['keypoint_features'].numpy().reshape(b, m, -1)
+
+    vsa = VoxelSetAbstraction(
+        num_keypoints=m, out_channels=out_ch, voxel_size=vs,
+        point_cloud_range=pcr, voxel_sa_configs=(voxel_sa_cfg,),
+        rawpoint_sa_config=raw_cfg, bev_sa_config=bev_cfg,
+        voxel_center_align='half')
+    keys = (((vox_idx[:, 0] * 40 + vox_idx[:, 1]) * 80 + vox_idx[:, 2]) * 80
+            + vox_idx[:, 3]).astype(np.int32)
+    order = np.argsort(keys)
+    st = SparseTensor(feats=jnp.asarray(vox_feats[order]),
+                      coords=jnp.asarray(vox_idx[order].astype(np.int32)),
+                      keys=jnp.asarray(keys[order]),
+                      spatial_shape=(b, 40, 80, 80),
+                      num_voxels=jnp.asarray(v, jnp.int32))
+    bev_ours = jnp.asarray(np.moveaxis(bev, 1, -1))
+    variables = vsa.init(jax.random.PRNGKey(0), [st], jnp.asarray(pts),
+                         jnp.ones((b, n), bool), bev=bev_ours, train=False)
+    var_p = flax.core.unfreeze(variables['params'])
+    var_s = flax.core.unfreeze(variables['batch_stats'])
+
+    def deep_update(dst, src):
+        for k, val in src.items():
+            if isinstance(val, dict):
+                deep_update(dst[k], val)
+            else:
+                dst[k] = jnp.asarray(val)
+
+    deep_update(var_p, params)
+    deep_update(var_s, stats)
+    out = vsa.apply({'params': var_p, 'batch_stats': var_s}, [st],
+                    jnp.asarray(pts), jnp.ones((b, n), bool), bev=bev_ours,
+                    train=False)
+    np.testing.assert_allclose(np.asarray(out['keypoints']), kp_ref,
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out['keypoint_features']),
+                               gathered_ref, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out['fusion_keypoint_features']),
+                               fused_ref, atol=2e-5)

@@ -460,3 +460,88 @@ def points_in_boxes_all(points, boxes):
                   & (ly.abs() < bx[None, :, 4] / 2) & zin)
         out.append(inside.to(torch.int32))
     return torch.stack(out)
+
+
+# --------------------------------------------------------------------- vsa
+def furthest_point_sample(xyz, k):
+    """pointnet2 FPS transcription (sampling.cu): start at index 0, greedy
+    farthest; xyz (B, N, 3) -> (B, k) int32."""
+    B, N, _ = xyz.shape
+    out = torch.zeros(B, k, dtype=torch.int32)
+    for b in range(B):
+        d = torch.full((N,), 1e10)
+        last = 0
+        out[b, 0] = 0
+        for i in range(1, k):
+            d = torch.minimum(d, ((xyz[b] - xyz[b, last]) ** 2).sum(-1))
+            last = int(torch.argmax(d))
+            out[b, i] = last
+    return out
+
+
+def ball_query_stack(radius, nsample, xyz, xyz_batch_cnt, new_xyz,
+                     new_xyz_batch_cnt):
+    """ball_query.cu transcription on stacked batches: first nsample
+    support indices (per-sample LOCAL, ascending) with d2 < r^2; pad with
+    the first hit; idx[0] = -1 when empty."""
+    r2 = radius * radius
+    idx = torch.zeros(new_xyz.shape[0], nsample, dtype=torch.long)
+    empty = torch.zeros(new_xyz.shape[0], dtype=torch.bool)
+    xs = 0
+    qs = 0
+    for nc, mc in zip(xyz_batch_cnt.tolist(), new_xyz_batch_cnt.tolist()):
+        sup = xyz[xs:xs + nc]
+        for q in range(qs, qs + mc):
+            d2 = ((sup - new_xyz[q]) ** 2).sum(-1)
+            hits = torch.nonzero(d2 < r2).flatten()[:nsample]
+            if len(hits) == 0:
+                idx[q, 0] = -1
+                empty[q] = True
+            else:
+                idx[q] = hits[0]
+                idx[q, :len(hits)] = hits
+        xs += nc
+        qs += mc
+    return idx, empty
+
+
+def grouping_stack(features, features_batch_cnt, idx, idx_batch_cnt):
+    """group_points.cu transcription: per-sample local idx gather ->
+    (M, C, nsample)."""
+    out = []
+    fs = 0
+    qs = 0
+    for nc, mc in zip(features_batch_cnt.tolist(), idx_batch_cnt.tolist()):
+        f = features[fs:fs + nc]
+        loc = idx[qs:qs + mc].clamp(min=0)
+        out.append(f[loc].permute(0, 2, 1))
+        fs += nc
+        qs += mc
+    return torch.cat(out, dim=0)
+
+
+class QueryAndGroupOracle(nn.Module):
+    """Reference QueryAndGroup (ops/vsa/group_points.py:97-183) on the
+    transcribed stack ops."""
+
+    def __init__(self, radius, nsample, use_xyz=True):
+        super().__init__()
+        self.radius, self.nsample, self.use_xyz = radius, nsample, use_xyz
+
+    def forward(self, xyz, xyz_batch_cnt, new_xyz, new_xyz_batch_cnt,
+                features=None):
+        idx, empty = ball_query_stack(self.radius, self.nsample, xyz,
+                                      xyz_batch_cnt, new_xyz,
+                                      new_xyz_batch_cnt)
+        grouped_xyz = grouping_stack(xyz, xyz_batch_cnt, idx,
+                                     new_xyz_batch_cnt)
+        grouped_xyz = grouped_xyz - new_xyz.unsqueeze(-1)
+        grouped_xyz[empty] = 0
+        if features is not None:
+            gf = grouping_stack(features, xyz_batch_cnt, idx,
+                                new_xyz_batch_cnt)
+            gf[empty] = 0
+            if self.use_xyz:
+                return torch.cat([grouped_xyz, gf], dim=1), idx
+            return gf, idx
+        return grouped_xyz, idx
