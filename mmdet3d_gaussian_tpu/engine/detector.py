@@ -168,7 +168,9 @@ class ShardedPointPillarsDetector:
 
     def __init__(self, model_cfg: Optional[Dict[str, Any]] = None,
                  head_cfg: Optional[Dict[str, Any]] = None,
-                 point_axis: Optional[str] = 'points'):
+                 point_axis: Optional[str] = 'points',
+                 merge: str = 'dense', mesh=None,
+                 bucket_capacity: Optional[int] = None):
         from ..parallel.sharded_model import ShardedPointPillarsNet
         mc = dict(KITTI_3CLASS_MODEL)
         mc.update(model_cfg or {})
@@ -177,7 +179,10 @@ class ShardedPointPillarsDetector:
         for k in ('max_points_per_voxel', 'max_voxels_per_sample',
                   'voxelize_mode', 'head_type'):
             mc.pop(k, None)
-        self.trunk = ShardedPointPillarsNet(point_axis=point_axis, **mc)
+        self.trunk = ShardedPointPillarsNet(point_axis=point_axis,
+                                            merge=merge, mesh=mesh,
+                                            bucket_capacity=bucket_capacity,
+                                            **mc)
         self.head = GDAnchor3DHead(**hc)
         self.model_cfg = mc
         nx, ny = self.trunk._grid()

@@ -204,3 +204,86 @@ def reference_pillar_reduce(points, mask, pc_range, voxel_size, nx, ny,
         cnt = jnp.maximum(table[:, -1:], 1.0)
         return (table[:, :-1] / cnt).reshape(ny, nx, -1)
     return table[:, :-1].reshape(ny, nx, -1)
+
+
+def sharded_feature_splat_sparse(feats, lin, valid, nx: int, ny: int,
+                                 mesh: Mesh, data_axis: str = 'data',
+                                 point_axis: str = 'points',
+                                 bucket_capacity: Optional[int] = None,
+                                 replicate_out: bool = True):
+    """Differentiable sparse cross-chip pillar merge for TRAINING graphs.
+
+    The feature-level sibling of :func:`sharded_pillar_reduce_sparse`:
+    inputs are per-point features already produced by the (point-sharded)
+    MLP, so this drops into :class:`parallel.sharded_model.DensePillarEncoder`
+    as the pillar merge.  Every op in the path (scatter-add, top_k
+    compaction, ``all_to_all``, ``all_gather``) has a JAX transpose, so the
+    whole merge is differentiable end to end.
+
+    Args:
+        feats: (B, N, C) sharded P(data_axis, point_axis, None).
+        lin:   (B, N) int32 global BEV cell id (y * nx + x); invalid rows
+               may hold anything.
+        valid: (B, N) bool.
+        replicate_out: True -> (B, ny*nx, C+1) canvas (sum + count lanes)
+               replicated over ``point_axis``; False -> y-row-sharded
+               P(data_axis, point_axis) stripes.
+    """
+    n = mesh.shape[point_axis]
+    assert ny % n == 0, (ny, n)
+    rows_per = ny // n
+    stripe_cells = rows_per * nx
+    cap = bucket_capacity or max(128, stripe_cells // 4)
+    cap = min(cap, stripe_cells)
+
+    def fn(f, li, va):
+        b_loc, n_loc, c = f.shape
+        ones = va.astype(f.dtype)[..., None]
+        data = jnp.concatenate([f * ones, ones], axis=-1)       # (b, n, C+1)
+        li = jnp.where(va, li, ny * nx)
+
+        def one_sample(d, idx):
+            table = jnp.zeros((ny * nx + 1, d.shape[-1]), d.dtype)
+            return table.at[idx].add(d)[:-1]
+
+        table = jax.vmap(one_sample)(data, li)          # (b, ny*nx, C+1)
+        fdim = table.shape[-1]
+        stripes = table.reshape(b_loc, n, stripe_cells, fdim)
+        live = stripes[..., -1] > 0                     # (b, n, S)
+
+        rank = jnp.where(live, jnp.arange(stripe_cells)[None, None, :],
+                         stripe_cells + jnp.arange(stripe_cells)[None,
+                                                                 None, :])
+        _, sel = jax.lax.top_k(-rank, cap)              # (b, n, cap)
+        frag = jnp.take_along_axis(stripes, sel[..., None], axis=2)
+        frag_live = jnp.take_along_axis(live, sel, axis=2)
+        cell = jnp.where(frag_live, sel, stripe_cells)  # trash slot
+        route_dt = (f.dtype if jnp.finfo(f.dtype).nmant >= 23
+                    or stripe_cells < 2 ** jnp.finfo(f.dtype).nmant
+                    else jnp.float32)
+        packed = jnp.concatenate(
+            [frag.astype(route_dt), cell[..., None].astype(route_dt)],
+            axis=-1)                                    # (b, n, cap, F+1)
+        recv = jax.lax.all_to_all(packed, point_axis, split_axis=1,
+                                  concat_axis=1, tiled=False)
+
+        rcell = recv[..., -1].astype(jnp.int32).reshape(b_loc, -1)
+        rfeat = recv[..., :-1].reshape(b_loc, -1, fdim).astype(f.dtype)
+
+        def own_sample(ids, vals):
+            own = jnp.zeros((stripe_cells + 1, fdim), f.dtype)
+            return own.at[ids].add(vals)[:stripe_cells]
+
+        own = jax.vmap(own_sample)(rcell, rfeat)        # (b, S, C+1)
+        out = own.reshape(b_loc, rows_per, nx, fdim)
+        if replicate_out:
+            out = jax.lax.all_gather(out, point_axis, axis=1, tiled=True)
+        return out
+
+    out_spec = (P(data_axis) if replicate_out
+                else P(data_axis, point_axis))
+    return jax.shard_map(
+        fn, mesh=mesh,
+        in_specs=(P(data_axis, point_axis, None), P(data_axis, point_axis),
+                  P(data_axis, point_axis)),
+        out_specs=out_spec, check_vma=False)(feats, lin, valid)

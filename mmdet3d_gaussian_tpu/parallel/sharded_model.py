@@ -54,6 +54,15 @@ class DensePillarEncoder(nn.Module):
     voxel_size: Sequence[float] = (0.16, 0.16, 4.0)
     point_cloud_range: Sequence[float] = (0., -39.68, -3., 69.12, 39.68, 1.)
     point_spec: Optional[Any] = None     # PartitionSpec for (B, N, ...) ops
+    # 'dense': GSPMD scatter-add + canvas all-reduce.  'sparse': explicit
+    # two-phase COO merge (compaction + one all_to_all to stripe owners) —
+    # needs ``mesh`` + axis names; differentiable (point_sharding.
+    # sharded_feature_splat_sparse).  ICI traffic model in PARITY.md.
+    merge: str = 'dense'
+    mesh: Optional[Any] = None
+    data_axis: str = 'data'
+    point_axis: str = 'points'
+    bucket_capacity: Optional[int] = None
 
     @nn.compact
     def __call__(self, points, points_mask, nx: int, ny: int,
@@ -85,9 +94,20 @@ class DensePillarEncoder(nn.Module):
             if self.point_spec is not None:
                 x = _constrain(x, self.point_spec)
 
+        lin = jnp.where(valid, coords[..., 1] * nx + coords[..., 0], nx * ny)
+        if self.merge == 'sparse':
+            # explicit sparse COO merge: per-chip local reduce, stripe
+            # compaction, one all_to_all to stripe owners (+ all_gather)
+            from .point_sharding import sharded_feature_splat_sparse
+            table = sharded_feature_splat_sparse(
+                x, lin.astype(jnp.int32), valid, nx, ny, self.mesh,
+                data_axis=self.data_axis, point_axis=self.point_axis,
+                bucket_capacity=self.bucket_capacity,
+                replicate_out=True)                # (B, ny, nx, C+1)
+            cnt = jnp.maximum(table[..., -1:], 1.0)
+            return table[..., :-1] / cnt
         # differentiable dense-canvas mean: scatter-add partials per chip,
         # XLA all-reduces the (small) canvas across the point axis
-        lin = jnp.where(valid, coords[..., 1] * nx + coords[..., 0], nx * ny)
         ones = valid.astype(x.dtype)[..., None]
         data = jnp.concatenate([x * ones, ones], axis=-1)
 
@@ -111,6 +131,9 @@ class ShardedPointPillarsNet(nn.Module):
     head_cfg: Dict[str, Any] = None
     data_axis: str = 'data'
     point_axis: Optional[str] = 'points'
+    merge: str = 'dense'                 # 'dense' | 'sparse'
+    mesh: Optional[Any] = None           # required for merge='sparse'
+    bucket_capacity: Optional[int] = None
 
     def _grid(self) -> Tuple[int, int]:
         pcr, vs = self.point_cloud_range, self.voxel_size
@@ -135,6 +158,10 @@ class ShardedPointPillarsNet(nn.Module):
             point_cloud_range=self.point_cloud_range,
             point_spec=(P(self.data_axis, self.point_axis, None)
                         if self.point_axis else None),
+            merge=self.merge, mesh=self.mesh,
+            data_axis=self.data_axis,
+            point_axis=self.point_axis or 'points',
+            bucket_capacity=self.bucket_capacity,
             name='voxel_encoder', **enc_cfg)
         canvas = encoder(points, points_mask, nx, ny, train=train)
         if self.point_axis:
