@@ -64,3 +64,59 @@ def test_direction_target_bins():
     bins = np.asarray(get_direction_target(anchors, tgt,
                                            dir_offset=-np.pi / 2))
     np.testing.assert_array_equal(bins, [0, 1, 1, 0])
+
+
+def test_rotation_convention_consistent_across_subsystems():
+    """One yaw convention everywhere: box corners from
+    ``core.bbox.structures`` (rotation_3d_in_axis / corners_3d) must land on
+    the SAME BEV vertices as the eval geometry (``geometry_np``, transcribed
+    from the reference ``rbox_utils.hpp:53-71``), and point containment
+    (``points_in_boxes_3d``) must agree with polygon membership derived from
+    BEV IoU of a tiny probe box."""
+    from mmdet3d_gaussian_tpu.core.bbox.structures import (
+        corners_3d, points_in_boxes_3d)
+    from mmdet3d_gaussian_tpu.core.evaluation import geometry_np as G
+
+    rng = np.random.RandomState(3)
+    boxes = np.c_[rng.uniform(-5, 5, (6, 2)), rng.uniform(-2, -1, (6, 1)),
+                  rng.uniform(2, 5, (6, 2)), rng.uniform(1, 2, (6, 1)),
+                  rng.uniform(-3, 3, (6, 1))].astype(np.float32)
+
+    # corners: our 3D corners' BEV footprint == reference C++ vertex formula
+    corners = np.asarray(corners_3d(jnp.asarray(boxes)))     # (N, 8, 3)
+    bev_ours = corners[:, :4, :2]                            # one z level
+    for i, b in enumerate(boxes):
+        x, y, w, h, a = b[0], b[1], b[3], b[4], b[6]
+        c2, s2 = np.cos(a) * 0.5, np.sin(a) * 0.5
+        p0 = (x - s2 * h - c2 * w, y + c2 * h - s2 * w)
+        p1 = (x + s2 * h - c2 * w, y - c2 * h - s2 * w)
+        p2 = (2 * x - p0[0], 2 * y - p0[1])
+        p3 = (2 * x - p1[0], 2 * y - p1[1])
+        ref = {tuple(np.round(p, 4)) for p in (p0, p1, p2, p3)}
+        got = {tuple(np.round(p, 4)) for p in bev_ours[i]}
+        assert got == ref, (i, got, ref)
+
+    # containment vs polygon membership via a tiny probe box
+    pts = np.c_[rng.uniform(-7, 7, (200, 2)),
+                rng.uniform(-2.2, -0.8, (200, 1))].astype(np.float32)
+    inside = np.asarray(points_in_boxes_3d(jnp.asarray(pts),
+                                           jnp.asarray(boxes)))  # (200, 6)
+    probes = np.c_[pts[:, :2], np.full((200, 1), -1.6),
+                   np.full((200, 2), 1e-3), np.full((200, 1), 2.0),
+                   np.zeros((200, 1))]
+    bev_in = G.iou_bev(probes.astype(np.float64),
+                       boxes.astype(np.float64)) > 0          # (200, 6)
+    # exclude points within 2 cm of any box edge (boundary semantics differ
+    # legitimately: strict vs probe-area overlap)
+    margin = np.zeros_like(bev_in)
+    for i, b in enumerate(boxes):
+        grown = b.copy(); grown[3:5] += 0.04
+        shrunk = b.copy(); shrunk[3:5] -= 0.04
+        near_edge = (G.iou_bev(probes, grown[None])[:, 0] > 0) \
+            & ~(G.iou_bev(probes, shrunk[None])[:, 0] > 0)
+        margin[:, i] = near_edge
+    zin = (pts[:, 2:3] >= boxes[None, :, 2]) \
+        & (pts[:, 2:3] <= boxes[None, :, 2] + boxes[None, :, 5])
+    want = bev_in & zin
+    ok = margin | (inside == want)
+    assert ok.all(), np.argwhere(~ok)[:5]
