@@ -102,3 +102,63 @@ def test_sparse_merge_sharded_output():
     want = np.asarray(reference_pillar_reduce(pts, mask, PC_RANGE, VOXEL,
                                               NX, NY, 'sum'))
     np.testing.assert_allclose(np.asarray(out), want, rtol=1e-5, atol=1e-5)
+
+
+def test_sparse_merge_collective_traffic_smaller_in_hlo():
+    """The traffic claim, checked against the COMPILED program: the dense
+    merge lowers to an all-reduce of the full (ny*nx, C+1) canvas; the
+    sparse merge's only inter-chip transfer is an all-to-all whose total
+    payload is a fraction of that (n_dev * capacity * (C+2) elements)."""
+    import re
+    from mmdet3d_gaussian_tpu.parallel.point_sharding import (
+        sharded_pillar_reduce, sharded_pillar_reduce_sparse)
+
+    from jax.sharding import Mesh
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("data",))
+    n, c = 8 * 2048, 8
+    rng = np.random.RandomState(0)
+    pts = (rng.rand(n, c).astype(np.float32) * 20 - 10)
+    mask = np.ones(n, bool)
+    pcr = (-10, -10, -3, 10, 10, 1)
+    vs = (0.25, 0.25, 4.0)
+    nx = ny = 80
+    cap = 256
+    args = (jnp.asarray(pts), jnp.asarray(mask))
+
+    dense = jax.jit(lambda p, m: sharded_pillar_reduce(
+        p, m, pcr, vs, nx, ny, mesh))
+    sparse = jax.jit(lambda p, m: sharded_pillar_reduce_sparse(
+        p, m, pcr, vs, nx, ny, mesh, bucket_capacity=cap,
+        replicate_out=False))
+
+    def shape_elems(s):
+        dims = re.search(r'\[([0-9,]*)\]', s)
+        out = 1
+        for d in (dims.group(1).split(',') if dims.group(1) else []):
+            out *= int(d)
+        return out
+
+    dense_txt = dense.lower(*args).compile().as_text()
+    ar = re.findall(r'f32\[[0-9,]*\]\{[^}]*\} all-reduce\(', dense_txt)
+    assert ar, 'dense merge should lower to an all-reduce'
+    dense_elems = max(shape_elems(s) for s in ar)
+    assert dense_elems == ny * nx * (c + 1), dense_elems
+
+    sparse_txt = sparse.lower(*args).compile().as_text()
+    assert ' all-reduce(' not in sparse_txt
+    a2a = re.findall(r'f32\[[0-9,]*\]\{[^}]*\}', sparse_txt.split(
+        ' all-to-all(')[0].rsplit('%', 1)[-1]) if ' all-to-all(' in \
+        sparse_txt else []
+    assert ' all-to-all(' in sparse_txt, 'sparse merge must use all-to-all'
+    # total payload: n_dev tuple entries of (b, cap, C+2) each
+    entries = re.findall(r'f32\[([0-9,]+)\]\{[^}]*\}',
+                         sparse_txt[sparse_txt.index('%all-to-all'):
+                                    sparse_txt.index('%all-to-all') + 2000])
+    payload = 0
+    for dims in entries[:8]:
+        e = 1
+        for d in dims.split(','):
+            e *= int(d)
+        payload += e
+    assert payload == 8 * cap * (c + 2), payload
+    assert payload < dense_elems / 2, (payload, dense_elems)
