@@ -602,3 +602,58 @@ def load_voxel_set_abstraction():
         return _load_as(
             f'{REF_ROOT}/models/middle_encoders/voxel_set_abstraction.py',
             'refvsa.models.middle_encoders.voxel_set_abstraction')
+
+
+def load_pvrcnn_bbox_head():
+    """Load the reference ``pvrcnn_bbox_head.py``.  The forward path is
+    plain Conv1d/BN/Dropout; structures/spconv/nms imports are stubbed (the
+    mmdet3d-1.0 ``rotation_3d_in_axis`` transcription comes from
+    torch_oracles via the caller when exercising loss paths)."""
+
+    class _BaseModule(nn.Module):
+        def __init__(self, init_cfg=None):
+            super().__init__()
+            self.init_cfg = init_cfg
+
+    def rotation_3d_in_axis(points, angles, axis=2):
+        # mmdet3d 1.0 convention: x' = x cos - y sin (CCW by +angle)
+        c, s = torch.cos(angles), torch.sin(angles)
+        x, y, z = points[..., 0], points[..., 1], points[..., 2]
+        assert axis == 2
+        return torch.stack([c[:, None] * x - s[:, None] * y,
+                            s[:, None] * x + c[:, None] * y, z], dim=-1)
+
+    stubs = {
+        'mmcv': _mod('mmcv'),
+        'mmcv.cnn': _mod('mmcv.cnn'),
+        'mmcv.cnn.bricks': _mod('mmcv.cnn.bricks',
+                                build_norm_layer=oracles.build_norm_layer),
+        'mmcv.runner': _mod('mmcv.runner', BaseModule=_BaseModule),
+        'mmdet': _mod('mmdet'),
+        'mmdet.core': _mod(
+            'mmdet.core', multi_apply=oracles.multi_apply,
+            build_bbox_coder=lambda cfg:
+                oracles.TorchDeltaXYZWLHRBBoxCoder()),
+        'mmdet.models': _mod('mmdet.models', HEADS=_NoopRegistry()),
+        'mmdet3d': _mod('mmdet3d'),
+        'mmdet3d.core': _mod('mmdet3d.core'),
+        'mmdet3d.core.bbox': _mod('mmdet3d.core.bbox'),
+        'mmdet3d.core.bbox.structures': _mod(
+            'mmdet3d.core.bbox.structures',
+            LiDARInstance3DBoxes=None,
+            rotation_3d_in_axis=rotation_3d_in_axis,
+            xywhr2xyxyr=None),
+        'mmdet3d.models': _mod('mmdet3d.models'),
+        'mmdet3d.models.builder': _mod(
+            'mmdet3d.models.builder',
+            build_loss=lambda cfg: oracles.build_loss_oracle(cfg)),
+        'mmdet3d.ops': _mod('mmdet3d.ops', spconv=_mod('spconv')),
+        'mmdet3d.ops.iou3d': _mod('mmdet3d.ops.iou3d'),
+        'mmdet3d.ops.iou3d.iou3d_utils': _mod(
+            'mmdet3d.ops.iou3d.iou3d_utils', nms_gpu=None,
+            nms_normal_gpu=None),
+    }
+    with _stubbed(stubs):
+        return _load_as(
+            f'{REF_ROOT}/models/roi_heads/bbox_heads/pvrcnn_bbox_head.py',
+            'ref_pvrcnn_bbox_head')

@@ -444,3 +444,99 @@ def test_mask_head_targets_match_reference():
     # sanity: the case exercises all three target kinds
     assert (ref_seg == -1).any() and (ref_seg == 3).any() \
         and ((ref_seg >= 0) & (ref_seg < 3)).any()
+
+
+def test_bbox_head_forward_matches_reference():
+    """PVRCNNBboxHead forward parity with transplanted weights (reference
+    ``pvrcnn_bbox_head.py:123-138``): shared FC stack -> cls/reg branches,
+    eval-mode BN, dropout inactive.  The reference flattens grid features
+    channel-major (permute(0,4,1,2,3)); ours grid-major — absorbed into the
+    first-layer weight permutation."""
+    import torch
+    from tests import ref_loader
+    from tests.test_reference_parity_model import (_rand_bn_stats, _set_bn,
+                                                   _bn_tree)
+    from mmdet3d_gaussian_tpu.models.roi_heads import (
+        PVRCNNBboxHead as OurHead)
+
+    rng = np.random.RandomState(21)
+    b, r, g, c = 2, 8, 6, 16
+    g3 = g ** 3
+    mod = ref_loader.load_pvrcnn_bbox_head()
+    ref = mod.PVRCNNBboxHead(in_channels=c, grid_size=g, num_classes=3,
+                             shared_fc=(32, 32), cls_fc=(32,),
+                             reg_fc=(32,), dropout=0.3)
+    ref.eval()
+
+    feats_grid = (rng.randn(b * r, g, g, g, c) * 0.5).astype(np.float32)
+
+    params, stats = {}, {}
+
+    def seq_tree(seq, names, first_perm=False):
+        li = 0
+        for name in names:
+            conv, bn = seq[li], seq[li + 1]
+            w = (rng.randn(*conv.weight.shape) * 0.1).astype(np.float32)
+            with torch.no_grad():
+                conv.weight.copy_(torch.tensor(w))
+            bnst = _rand_bn_stats(rng, conv.weight.shape[0])
+            _set_bn(bn, bnst)
+            p, s = _bn_tree(bnst)
+            k = w[:, :, 0].T                      # (cin, cout)
+            if first_perm:
+                # ref input rows are ch*g3 + grid; ours grid*c + ch
+                perm = np.arange(c * g3).reshape(c, g3).T.reshape(-1)
+                k = k[perm]
+                first_perm = False
+            params[name] = {'kernel': jnp.asarray(k)}
+            params[name.replace('shared', 'shared_bn')
+                   .replace('cls', 'cls_bn').replace('reg', 'reg_bn')] = p
+            stats[name.replace('shared', 'shared_bn')
+                  .replace('cls', 'cls_bn').replace('reg', 'reg_bn')] = s
+            li += 3
+            if isinstance(seq[li] if li < len(seq) else None,
+                          torch.nn.Dropout):
+                li += 1
+
+    seq_tree(ref.shared_fc_layer, ['shared0', 'shared1'], first_perm=True)
+    seq_tree(ref.cls_layers, ['cls0'])
+    seq_tree(ref.reg_layers, ['reg0'])
+    for conv, name in ((ref.cls_out, 'cls_out'), (ref.reg_out, 'reg_out')):
+        w = (rng.randn(*conv.weight.shape) * 0.1).astype(np.float32)
+        bt = (rng.randn(conv.weight.shape[0]) * 0.1).astype(np.float32)
+        with torch.no_grad():
+            conv.weight.copy_(torch.tensor(w))
+            conv.bias.copy_(torch.tensor(bt))
+        params[name] = {'kernel': jnp.asarray(w[:, :, 0].T),
+                        'bias': jnp.asarray(bt)}
+
+    with torch.no_grad():
+        cls_ref, reg_ref = ref(torch.tensor(feats_grid))
+
+    ours = OurHead(in_channels=c, grid_size=g, num_classes=3,
+                   shared_fc=(32, 32), cls_fc=(32,), reg_fc=(32,),
+                   dropout=0.3)
+    flat = feats_grid.reshape(b * r, g3, c).reshape(b, r, g3 * c)
+    variables = ours.init(jax.random.PRNGKey(0), jnp.asarray(flat),
+                          valid=jnp.ones((b, r), bool), train=False)
+    import flax
+    vp = flax.core.unfreeze(variables['params'])
+    vs = flax.core.unfreeze(variables['batch_stats'])
+
+    def deep(dst, src):
+        for k2, v in src.items():
+            if isinstance(v, dict):
+                deep(dst[k2], v)
+            else:
+                dst[k2] = jnp.asarray(v)
+
+    deep(vp, params)
+    deep(vs, stats)
+    cls_o, reg_o = ours.apply({'params': vp, 'batch_stats': vs},
+                              jnp.asarray(flat),
+                              valid=jnp.ones((b, r), bool), train=False)
+    np.testing.assert_allclose(np.asarray(cls_o).reshape(-1),
+                               cls_ref.numpy().reshape(-1),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(reg_o).reshape(b * r, -1),
+                               reg_ref.numpy(), rtol=1e-4, atol=1e-5)

@@ -83,11 +83,15 @@ class TorchSmoothL1Loss(nn.Module):
 class TorchCrossEntropyLoss(nn.Module):
     def __init__(self, use_sigmoid=False, reduction='mean', loss_weight=1.0):
         super().__init__()
-        assert not use_sigmoid
+        self.use_sigmoid = use_sigmoid
         self.reduction, self.loss_weight = reduction, loss_weight
 
     def forward(self, pred, target, weight=None, avg_factor=None):
-        loss = F.cross_entropy(pred, target.long(), reduction='none')
+        if self.use_sigmoid:
+            loss = F.binary_cross_entropy_with_logits(
+                pred, target.float(), reduction='none')
+        else:
+            loss = F.cross_entropy(pred, target.long(), reduction='none')
         return self.loss_weight * weight_reduce_loss(
             loss, weight, self.reduction, avg_factor)
 
@@ -112,6 +116,8 @@ def build_loss_oracle(cfg, gd_loss_cls=None):
 class TorchDeltaXYZWLHRBBoxCoder:
     """mmdet3d DeltaXYZWLHRBBoxCoder (decode used at
     reference gd_anchor3d_head.py:133-136)."""
+
+    code_size = 7
 
     @staticmethod
     def encode(anchors, gt):
