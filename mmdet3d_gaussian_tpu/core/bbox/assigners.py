@@ -193,9 +193,10 @@ class SimOTABEVAssigner:
 
     def assign(self, priors, cls_scores, ious, gt_bboxes, gt_labels,
                gt_valid):
-        """priors (A, 3) = (cx, cy, stride); cls_scores (A, C) sigmoid
-        probabilities; ious (G, A) 3D IoU between gt and decoded preds;
-        gt (G, ...) padded."""
+        """priors (A, >=2) = (cx, cy, ...) — only the BEV center is used
+        (the reference gates on an absolute radius, not stride units);
+        cls_scores (A, C) sigmoid probabilities; ious (G, A) 3D IoU between
+        gt and decoded preds; gt (G, ...) padded."""
         num_gt, num_priors = ious.shape
 
         centers = priors[:, 0:2]
@@ -251,6 +252,9 @@ class SimOTABEVAssigner:
         matched_gt = jnp.argmax(matching, axis=0).astype(jnp.int32)
         assigned = jnp.where(fg, matched_gt + 1, 0)
         labels = jnp.where(fg, gt_labels[matched_gt], -1).astype(jnp.int32)
-        max_iou = jnp.max(jnp.where(matching, ious, 0.0), axis=0)
+        # unmatched priors carry the reference's -INF sentinel (:116-118),
+        # not 0.0 — consumers thresholding max_overlaps rely on it
+        max_iou = jnp.where(fg, jnp.max(jnp.where(matching, ious, 0.0),
+                                        axis=0), -float(1e8))
         return AssignResult(assigned_gt=assigned, max_overlaps=max_iou,
                             labels=labels)

@@ -94,6 +94,36 @@ def sharded_pillar_reduce(points, mask, pc_range, voxel_size,
                          out_specs=P())(points, mask)
 
 
+def _compact_and_pack(stripes, live, cap: int, stripe_cells: int):
+    """Compact each stripe's live cells into ``cap`` (feature, cell-id) rows.
+
+    stripes (..., S, F); live (..., S) -> packed (..., cap, F+1).
+
+    * Live cells beyond ``cap`` are DROPPED, highest cell index first
+      (deterministic) — callers must size ``cap`` >= live cells per
+      (chip, stripe); there is no in-graph overflow signal (a jit-safe
+      counter would cost a reduction per step), so treat capacity like
+      ``max_voxels``: a static bound chosen from data statistics.
+    * The id lane must stay integer-exact through the float payload: bf16
+      (7 mantissa bits) corrupts ids > 256, so the payload is promoted to
+      f32 when the dtype can't represent ``stripe_cells`` (costs 2x ICI
+      bytes for bf16 inputs; a base-256 two-lane digit pack would recover
+      it if this ever shows up in profiles).
+    """
+    idx = jnp.arange(stripe_cells)
+    rank = jnp.where(live, idx, stripe_cells + idx)
+    _, sel = jax.lax.top_k(-rank, cap)                  # (..., cap) asc ids
+    frag = jnp.take_along_axis(stripes, sel[..., None], axis=-2)
+    frag_live = jnp.take_along_axis(live, sel, axis=-1)
+    cell = jnp.where(frag_live, sel, stripe_cells)      # trash slot
+    dt = stripes.dtype
+    route_dt = (dt if jnp.finfo(dt).nmant >= 23
+                or stripe_cells < 2 ** jnp.finfo(dt).nmant
+                else jnp.float32)
+    return jnp.concatenate([frag.astype(route_dt),
+                            cell[..., None].astype(route_dt)], axis=-1)
+
+
 def sharded_pillar_reduce_sparse(points, mask, pc_range, voxel_size,
                                  nx: int, ny: int, mesh: Mesh,
                                  axis: str = 'data', op: str = 'mean',
@@ -141,25 +171,9 @@ def sharded_pillar_reduce_sparse(points, mask, pc_range, voxel_size,
         stripes = table.reshape(n, stripe_cells, f)
         live = live.reshape(n, stripe_cells)
 
-        # top-`cap` live cells per stripe (liveness desc, cell idx asc)
-        rank = jnp.where(live, jnp.arange(stripe_cells)[None, :],
-                         stripe_cells + jnp.arange(stripe_cells)[None, :])
-        _, sel = jax.lax.top_k(-rank, cap)                    # (n, cap)
-        frag = jnp.take_along_axis(stripes, sel[..., None], axis=1)
-        frag_live = jnp.take_along_axis(live, sel, axis=1)
-        cell = jnp.where(frag_live, sel, stripe_cells)        # trash slot
-        # (n, cap, F+1): feature rows + cell id, routed to stripe owners.
-        # The id lane must stay integer-exact through the float payload:
-        # bf16 (7 mantissa bits) corrupts ids > 256, so promote the routed
-        # payload to f32 when pts.dtype can't represent stripe_cells
-        # (costs 2x ICI bytes for bf16 inputs; a base-256 two-lane digit
-        # pack would recover it if this ever shows up in profiles)
-        route_dt = (pts.dtype if jnp.finfo(pts.dtype).nmant >= 23
-                    or stripe_cells < 2 ** jnp.finfo(pts.dtype).nmant
-                    else jnp.float32)
-        packed = jnp.concatenate(
-            [frag.astype(route_dt), cell[..., None].astype(route_dt)],
-            axis=-1)
+        # (n, cap, F+1) feature rows + cell id, routed to stripe owners
+        # (drop policy + id-exactness notes: _compact_and_pack)
+        packed = _compact_and_pack(stripes, live, cap, stripe_cells)
         recv = jax.lax.all_to_all(packed, axis, split_axis=0,
                                   concat_axis=0, tiled=False)  # (n, cap, F+1)
 
@@ -220,15 +234,22 @@ def sharded_feature_splat_sparse(feats, lin, valid, nx: int, ny: int,
     compaction, ``all_to_all``, ``all_gather``) has a JAX transpose, so the
     whole merge is differentiable end to end.
 
+    Capacity is a STATIC bound like ``max_voxels``: live cells beyond
+    ``bucket_capacity`` per (chip, stripe) are dropped deterministically
+    with no in-graph signal (see :func:`_compact_and_pack`) — size it from
+    data statistics, or use merge='dense' when occupancy is unbounded.
+
     Args:
         feats: (B, N, C) sharded P(data_axis, point_axis, None).
         lin:   (B, N) int32 global BEV cell id (y * nx + x); invalid rows
                may hold anything.
         valid: (B, N) bool.
-        replicate_out: True -> (B, ny*nx, C+1) canvas (sum + count lanes)
+        replicate_out: True -> (B, ny, nx, C+1) canvas (sum + count lanes)
                replicated over ``point_axis``; False -> y-row-sharded
-               P(data_axis, point_axis) stripes.
+               P(data_axis, point_axis) stripes (B, ny/n, nx, C+1).
     """
+    assert mesh is not None, \
+        "sharded_feature_splat_sparse needs an explicit Mesh (merge='sparse')"
     n = mesh.shape[point_axis]
     assert ny % n == 0, (ny, n)
     rows_per = ny // n
@@ -251,19 +272,9 @@ def sharded_feature_splat_sparse(feats, lin, valid, nx: int, ny: int,
         stripes = table.reshape(b_loc, n, stripe_cells, fdim)
         live = stripes[..., -1] > 0                     # (b, n, S)
 
-        rank = jnp.where(live, jnp.arange(stripe_cells)[None, None, :],
-                         stripe_cells + jnp.arange(stripe_cells)[None,
-                                                                 None, :])
-        _, sel = jax.lax.top_k(-rank, cap)              # (b, n, cap)
-        frag = jnp.take_along_axis(stripes, sel[..., None], axis=2)
-        frag_live = jnp.take_along_axis(live, sel, axis=2)
-        cell = jnp.where(frag_live, sel, stripe_cells)  # trash slot
-        route_dt = (f.dtype if jnp.finfo(f.dtype).nmant >= 23
-                    or stripe_cells < 2 ** jnp.finfo(f.dtype).nmant
-                    else jnp.float32)
-        packed = jnp.concatenate(
-            [frag.astype(route_dt), cell[..., None].astype(route_dt)],
-            axis=-1)                                    # (b, n, cap, F+1)
+        # (b, n, cap, F+1) fragments routed to stripe owners (drop policy
+        # + id-exactness notes: _compact_and_pack)
+        packed = _compact_and_pack(stripes, live, cap, stripe_cells)
         recv = jax.lax.all_to_all(packed, point_axis, split_axis=1,
                                   concat_axis=1, tiled=False)
 

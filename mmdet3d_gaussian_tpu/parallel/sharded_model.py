@@ -96,6 +96,10 @@ class DensePillarEncoder(nn.Module):
 
         lin = jnp.where(valid, coords[..., 1] * nx + coords[..., 0], nx * ny)
         if self.merge == 'sparse':
+            if self.mesh is None:
+                raise ValueError(
+                    "merge='sparse' needs an explicit mesh= (the COO merge "
+                    "is a shard_map over the point axis)")
             # explicit sparse COO merge: per-chip local reduce, stripe
             # compaction, one all_to_all to stripe owners (+ all_gather)
             from .point_sharding import sharded_feature_splat_sparse

@@ -197,5 +197,6 @@ def test_sim_ota_matches_reference():
     assert fg.sum() > 0
     np.testing.assert_array_equal(np.asarray(res.labels)[fg],
                                   res_ref.labels.numpy()[fg])
-    np.testing.assert_allclose(np.asarray(res.max_overlaps)[fg],
-                               res_ref.max_overlaps.numpy()[fg], rtol=1e-5)
+    # ALL rows, including the -INF sentinel on unmatched priors
+    np.testing.assert_allclose(np.asarray(res.max_overlaps),
+                               res_ref.max_overlaps.numpy(), rtol=1e-5)

@@ -146,9 +146,6 @@ def test_sparse_merge_collective_traffic_smaller_in_hlo():
 
     sparse_txt = sparse.lower(*args).compile().as_text()
     assert ' all-reduce(' not in sparse_txt
-    a2a = re.findall(r'f32\[[0-9,]*\]\{[^}]*\}', sparse_txt.split(
-        ' all-to-all(')[0].rsplit('%', 1)[-1]) if ' all-to-all(' in \
-        sparse_txt else []
     assert ' all-to-all(' in sparse_txt, 'sparse merge must use all-to-all'
     # total payload: n_dev tuple entries of (b, cap, C+2) each
     entries = re.findall(r'f32\[([0-9,]+)\]\{[^}]*\}',
