@@ -278,6 +278,38 @@ class PVRCNNDetector:
             {'first': aux1['batch_stats'], 'second': aux2['batch_stats']}
 
     # ------------------------------------------------------------------
+    def rcnn_losses(self, samples, roi_cls, roi_reg):
+        """Second-stage losses for already-drawn RoI samples (reference
+        ``pvrcnn_bbox_head.py:140-212`` loss + ``:213-253`` get_targets
+        assembly, batch-concatenated weight normalization included).
+
+        samples: RoISamples (B, R, ...); roi_cls (B, R, 1); roi_reg (B, R, 7).
+        """
+        losses = {}
+        label, label_w, bbox_tgt, reg_w = jax.vmap(
+            lambda s: roi_canonical_targets(s, self.roi_coder))(samples)
+
+        roi_cls = roi_cls[..., 0]
+        label_w = label_w / jnp.clip(jnp.sum(label_w), 1.0)
+        # BCE against the soft iou-interval label (reference uses
+        # binary_cross_entropy on the 2*iou-0.5 soft targets)
+        p = roi_cls.reshape(-1)
+        soft = label.reshape(-1)
+        bce = (jnp.maximum(p, 0) - p * soft + jnp.log1p(jnp.exp(-jnp.abs(p))))
+        losses['loss_roi_cls'] = jnp.sum(bce * label_w.reshape(-1))
+
+        reg_w_n = reg_w / jnp.clip(jnp.sum(reg_w), 1.0)
+        sml1 = self.loss_roi_bbox(roi_reg, bbox_tgt)
+        losses['loss_roi_bbox'] = jnp.sum(
+            jnp.sum(sml1, -1) * reg_w_n)
+
+        # corner loss on decoded positives
+        dec = decode_roi_boxes(samples.rois, roi_reg, self.roi_coder)
+        corner = corner_loss_lidar(dec.reshape(-1, 7),
+                                   samples.gt_of_roi.reshape(-1, 7))
+        losses['loss_corner'] = jnp.sum(corner * reg_w_n.reshape(-1))
+        return losses
+
     def loss(self, outputs, batch):
         rpn_outs, out2, samples = outputs
         losses = {}
@@ -302,30 +334,8 @@ class PVRCNNDetector:
 
         # RoI losses — samples were drawn before the second stage ran, so
         # out2['roi_cls'][b, i] is the prediction FOR samples.rois[b, i]
-        label, label_w, bbox_tgt, reg_w = jax.vmap(
-            lambda s: roi_canonical_targets(s, self.roi_coder))(samples)
-
-        roi_cls = out2['roi_cls'][..., 0]
-        label_w = label_w / jnp.clip(jnp.sum(label_w), 1.0)
-        # BCE against the soft iou-interval label (reference uses
-        # binary_cross_entropy on the 2*iou-0.5 soft targets)
-        p = roi_cls.reshape(-1)
-        soft = label.reshape(-1)
-        bce = (jnp.maximum(p, 0) - p * soft + jnp.log1p(jnp.exp(-jnp.abs(p))))
-        losses['loss_roi_cls'] = jnp.sum(bce * label_w.reshape(-1))
-
-        reg_w_n = reg_w / jnp.clip(jnp.sum(reg_w), 1.0)
-        sml1 = self.loss_roi_bbox(out2['roi_reg'], bbox_tgt)
-        losses['loss_roi_bbox'] = jnp.sum(
-            jnp.sum(sml1, -1) * reg_w_n)
-
-        # corner loss on decoded positives
-        dec = decode_roi_boxes(samples.rois, out2['roi_reg'],
-                               self.roi_coder)
-        corner = corner_loss_lidar(dec.reshape(-1, 7),
-                                   samples.gt_of_roi.reshape(-1, 7))
-        losses['loss_corner'] = jnp.sum(
-            corner * reg_w_n.reshape(-1))
+        losses.update(self.rcnn_losses(samples, out2['roi_cls'],
+                                       out2['roi_reg']))
 
         total = sum(losses.values())
         # telemetry (reported, never part of the objective)

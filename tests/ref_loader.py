@@ -623,6 +623,29 @@ def load_pvrcnn_bbox_head():
         return torch.stack([c[:, None] * x - s[:, None] * y,
                             s[:, None] * x + c[:, None] * y, z], dim=-1)
 
+    import numpy as _np
+
+    class _CornersBoxes:
+        """LiDARInstance3DBoxes for the corner loss: bottom-center z rows,
+        mmdet3d corner template (origin (0.5, 0.5, 0))."""
+
+        def __init__(self, tensor):
+            self.tensor = tensor
+
+        def clone(self):
+            return _CornersBoxes(self.tensor.clone())
+
+        @property
+        def corners(self):
+            t = self.tensor
+            norm = _np.stack(_np.unravel_index(_np.arange(8), [2] * 3),
+                             axis=1)
+            norm = norm[[0, 1, 3, 2, 6, 7, 5, 4]] - _np.array([0.5, 0.5, 0.])
+            corners = torch.tensor(norm, dtype=t.dtype)[None] \
+                * t[:, None, 3:6]
+            corners = rotation_3d_in_axis(corners, t[:, 6], axis=2)
+            return corners + t[:, None, 0:3]
+
     stubs = {
         'mmcv': _mod('mmcv'),
         'mmcv.cnn': _mod('mmcv.cnn'),
@@ -640,7 +663,7 @@ def load_pvrcnn_bbox_head():
         'mmdet3d.core.bbox': _mod('mmdet3d.core.bbox'),
         'mmdet3d.core.bbox.structures': _mod(
             'mmdet3d.core.bbox.structures',
-            LiDARInstance3DBoxes=None,
+            LiDARInstance3DBoxes=_CornersBoxes,
             rotation_3d_in_axis=rotation_3d_in_axis,
             xywhr2xyxyr=None),
         'mmdet3d.models': _mod('mmdet3d.models'),
