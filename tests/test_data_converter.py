@@ -116,3 +116,58 @@ def test_converter_roundtrip(tmp_path):
     assert res is not None and len(res['gt_bboxes']) == 1
     assert (res['gt_labels'] == 2).all()
     assert len(res['points']) > 0
+
+
+def test_difficulty_assignment_matches_reference():
+    """KITTI easy/moderate/hard protocol parity vs the reference converter
+    run from source (``kitti_data_utils.py:491-533``): strict h > min
+    height, occlusion/truncation ceilings, XOR banding, -1 for none —
+    including exact-boundary rows (h == 40/25 px, t == 0.15/0.3/0.5)."""
+    import importlib.util
+    import types
+
+    sys.path.insert(0, '/root/repo')
+    from tools.data_converter.kitti_converter import assign_difficulty
+
+    # load the reference module with skimage stubbed + np.bool shimmed
+    saved = {k: sys.modules.get(k) for k in ('skimage', 'skimage.io')}
+    sk = types.ModuleType('skimage')
+    sk.io = types.ModuleType('skimage.io')
+    sys.modules.update({'skimage': sk, 'skimage.io': sk.io})
+    had_bool = hasattr(np, 'bool')
+    if not had_bool:
+        np.bool = np.bool_   # removed in numpy>=1.24; the ref file uses it
+    try:
+        spec = importlib.util.spec_from_file_location(
+            'ref_kitti_data_utils',
+            '/root/reference/tools/data_converter/kitti_data_utils.py')
+        ref_mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(ref_mod)
+    finally:
+        if not had_bool:
+            del np.bool
+        for k, v in saved.items():
+            if v is None:
+                sys.modules.pop(k, None)
+            else:
+                sys.modules[k] = v
+
+    rng = np.random.RandomState(5)
+    n = 400
+    heights = np.r_[rng.uniform(10, 80, n - 6),
+                    [40.0, 25.0, 39.99, 40.01, 24.99, 25.01]]
+    occ = rng.randint(0, 4, n)
+    trunc = np.r_[rng.uniform(0, 0.8, n - 3), [0.15, 0.3, 0.5]]
+    rng.shuffle(trunc)
+    bbox = np.c_[np.zeros(n), np.full(n, 100.0),
+                 np.full(n, 50.0), 100.0 + heights]
+    annos = dict(name=np.array(['Car'] * n), bbox=bbox,
+                 dimensions=rng.rand(n, 3), occluded=occ,
+                 truncated=trunc)
+
+    ref_diff = np.asarray(
+        ref_mod.add_difficulty_to_annos(dict(annos={
+            'dimensions': annos['dimensions'], 'bbox': bbox,
+            'occluded': occ, 'truncated': trunc})), np.int32)
+    ours = assign_difficulty(dict(annos))['difficulty']
+    np.testing.assert_array_equal(ours, ref_diff)

@@ -74,7 +74,9 @@ def assign_difficulty(annos):
     diff = np.full(n, -1, np.int32)
     h = annos['bbox'][:, 3] - annos['bbox'][:, 1] if n else np.zeros(0)
     for d in (2, 1, 0):
-        ok = ((h >= min_h[d]) & (annos['occluded'] <= max_occ[d])
+        # STRICT h > min_h: the reference excludes `h <= min_height`
+        # (kitti_data_utils.py:512) — a 40.00-px box is NOT easy
+        ok = ((h > min_h[d]) & (annos['occluded'] <= max_occ[d])
               & (annos['truncated'] <= max_trunc[d]))
         diff[ok] = d
     annos['difficulty'] = diff
