@@ -42,7 +42,27 @@ def build_dataloader(cfg, split: str = 'train'):
         # with dataset.get_ann_info); train shuffles and drops the remainder
         rng = np.random.RandomState(seed)
         order = rng.permutation(len(ds)) if shuffle else range(len(ds))
-        return pooled_sample_iterator(ds, order, batch_size, collate_batch,
+        bsz = batch_size
+        if shuffle:
+            import jax
+            nproc = jax.process_count()
+            if nproc > 1:
+                # per-host data plane: every host draws the SAME global
+                # shuffle (seeded), then loads only its slice of each
+                # global batch — batch m, host h gets rows
+                # order[m*B + h*B/k : m*B + (h+1)*B/k].  The device arrays
+                # are assembled from the local rows in run_training via
+                # jax.make_array_from_process_local_data.
+                assert batch_size % nproc == 0, (
+                    f'samples_per_gpu {batch_size} must divide by the '
+                    f'process count {nproc} for multi-host training')
+                bsz = batch_size // nproc
+                h = jax.process_index()
+                nb = len(ds) // batch_size
+                order = np.asarray(order)[:nb * batch_size]
+                order = order.reshape(nb, batch_size)[
+                    :, h * bsz:(h + 1) * bsz].reshape(-1)
+        return pooled_sample_iterator(ds, order, bsz, collate_batch,
                                       workers=workers,
                                       pad_partial=not shuffle)
 
@@ -117,13 +137,31 @@ def run_training(det, cfg, work_dir: str, seed: int = 0,
     t0 = time.time()
     from .prefetch import prefetch
 
-    def place(b):
-        # runs in the producer thread: collate output -> sharded device
-        # arrays, so H2D transfer overlaps the device step (shard_batch
-        # builds explicit NamedShardings — no thread-local ambient mesh)
-        b.pop('metas', None)
-        return shard_batch(mesh, b)
+    nproc = jax.process_count()
+    if nproc > 1:
+        # per-host batches: this process loaded B/nproc rows; assemble the
+        # global (B, ...) arrays from each host's local contribution
+        from jax.sharding import NamedSharding, PartitionSpec as P
 
+        def place(b):
+            b.pop('metas', None)
+            sh = NamedSharding(mesh, P('data'))
+
+            def g(x):
+                x = np.asarray(x)
+                return jax.make_array_from_process_local_data(
+                    sh, x, (x.shape[0] * nproc,) + x.shape[1:])
+
+            return jax.tree_util.tree_map(g, b)
+    else:
+        def place(b):
+            # runs in the producer thread: collate output -> sharded device
+            # arrays, so H2D transfer overlaps the device step (shard_batch
+            # builds explicit NamedShardings — no thread-local ambient mesh)
+            b.pop('metas', None)
+            return shard_batch(mesh, b)
+
+    is_main = jax.process_index() == 0   # rank-0 logging across hosts
     with use_mesh(mesh), open(log_path, 'a') as logf:
         for epoch in range(epochs):
             pf = prefetch(make_iter(seed + epoch), depth=2, place_fn=place)
@@ -143,9 +181,10 @@ def run_training(det, cfg, work_dir: str, seed: int = 0,
                     rec = {k: float(v) for k, v in metrics.items()}
                     rec.update(step=step, epoch=epoch,
                                time=round(time.time() - t0, 1))
-                    logf.write(json.dumps(rec) + '\n')
-                    logf.flush()
-                    print(f'step {step}: loss={rec["loss"]:.4f}')
+                    if is_main:
+                        logf.write(json.dumps(rec) + '\n')
+                        logf.flush()
+                        print(f'step {step}: loss={rec["loss"]:.4f}')
                 if step >= total_steps:
                     break
             pf.close()   # unblock the producer on early exit
@@ -163,9 +202,10 @@ def run_training(det, cfg, work_dir: str, seed: int = 0,
                 report = run_evaluation(det, cfg, state)
                 rec = {f'val/{k}': float(v) for k, v in report.items()}
                 rec.update(step=step, epoch=epoch)
-                logf.write(json.dumps(rec) + '\n')
-                logf.flush()
-                print(f'eval @ epoch {epoch}: {rec}')
+                if is_main:
+                    logf.write(json.dumps(rec) + '\n')
+                    logf.flush()
+                    print(f'eval @ epoch {epoch}: {rec}')
             if step >= total_steps:
                 break
     return state
