@@ -8,6 +8,9 @@ point_cloud_range = [-51.2, -51.2, -5.0, 51.2, 51.2, 3.0]
 
 train_pipeline = [
     dict(type='LoadPointsFromFile', load_dim=5, use_dim=5),
+    dict(type='LoadPointsFromMultiSweeps', sweeps_num=9,
+         use_dim=[0, 1, 2, 3, 4], pad_empty_sweeps=True,
+         remove_close=True),
     dict(type='RandomFlip3D', flip_ratio_bev_horizontal=0.5,
          flip_ratio_bev_vertical=0.5),
     dict(type='GlobalRotScaleTrans', rot_range=[-0.78539816, 0.78539816],
@@ -20,6 +23,9 @@ train_pipeline = [
 ]
 test_pipeline = [
     dict(type='LoadPointsFromFile', load_dim=5, use_dim=5),
+    dict(type='LoadPointsFromMultiSweeps', sweeps_num=9,
+         use_dim=[0, 1, 2, 3, 4], pad_empty_sweeps=True,
+         remove_close=True, test_mode=True),
     dict(type='PointsRangeFilter', point_cloud_range=point_cloud_range),
     dict(type='Pad3D', num_points=60000, num_gt=128),
 ]

@@ -89,7 +89,11 @@ class NuScenesDataset:
 
     def __getitem__(self, idx):
         info = self.data_infos[idx]
-        results = dict(pts_filename=info['lidar_path'], sample_idx=idx)
+        results = dict(pts_filename=info['lidar_path'], sample_idx=idx,
+                       # multi-sweep aggregation inputs (mmdet3d info
+                       # schema; timestamps are microseconds in the infos)
+                       sweeps=info.get('sweeps', []),
+                       timestamp=float(info.get('timestamp', 0)) / 1e6)
         ann = self.get_ann_info(idx)
         results['gt_bboxes'] = ann['gt_bboxes'].copy()
         results['gt_labels'] = ann['gt_labels'].copy()

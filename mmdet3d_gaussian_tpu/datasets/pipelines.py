@@ -62,6 +62,83 @@ class LoadPointsFromFile:
 
 
 @PIPELINES.register_module()
+class LoadPointsFromMultiSweeps:
+    """Aggregate previous lidar sweeps into the key frame (upstream
+    mmdet3d ``LoadPointsFromMultiSweeps``, used by every reference nuScenes
+    config: sweeps_num=9, pad_empty_sweeps, remove_close —
+    ``/root/reference/configs/nuscenes/centerpoint_02pillar_second_secfpn_8x4_cyclic_20e_nus.py:71-77``).
+
+    Each sweep is loaded from ``results['sweeps'][i]['data_path']``,
+    ego-motion-compensated with ``sensor2lidar_rotation``/``translation``,
+    time-stamped in column 4 (key frame = 0, sweeps = lag in seconds), and
+    concatenated.  ``remove_close`` drops points within ``close_radius`` of
+    the sensor in BEV (ego returns).  With no sweeps and
+    ``pad_empty_sweeps``, the key frame is replicated ``sweeps_num`` times.
+    """
+
+    def __init__(self, sweeps_num: int = 10, load_dim: int = 5,
+                 use_dim=(0, 1, 2, 3, 4), pad_empty_sweeps: bool = False,
+                 remove_close: bool = False, close_radius: float = 1.0,
+                 test_mode: bool = False, seed: int = 0):
+        self.sweeps_num = sweeps_num
+        self.load_dim = load_dim
+        self.use_dim = list(use_dim)
+        self.pad_empty_sweeps = pad_empty_sweeps
+        self.remove_close = remove_close
+        self.close_radius = close_radius
+        self.test_mode = test_mode
+        self.rng = np.random.RandomState(seed)
+
+    def _remove_close(self, points):
+        near = ((np.abs(points[:, 0]) < self.close_radius)
+                & (np.abs(points[:, 1]) < self.close_radius))
+        return points[~near]
+
+    def _load(self, path):
+        if path.endswith('.npy'):
+            pts = np.load(path)
+        else:
+            pts = np.fromfile(path, dtype=np.float32)
+        return pts.reshape(-1, self.load_dim).astype(np.float32)
+
+    def __call__(self, results):
+        points = np.asarray(results['points'], np.float32)
+        if points.shape[1] < 5:
+            points = np.c_[points,
+                           np.zeros((len(points), 5 - points.shape[1]),
+                                    np.float32)]
+        points[:, 4] = 0.0                    # key-frame time lag
+        ts = float(results.get('timestamp', 0.0))
+        sweeps = results.get('sweeps', []) or []
+        out = [points]
+        if self.pad_empty_sweeps and len(sweeps) == 0:
+            for _ in range(self.sweeps_num):
+                out.append(self._remove_close(points)
+                           if self.remove_close else points)
+        else:
+            if len(sweeps) <= self.sweeps_num:
+                choices = np.arange(len(sweeps))
+            elif self.test_mode:
+                choices = np.arange(self.sweeps_num)
+            else:
+                choices = self.rng.choice(len(sweeps), self.sweeps_num,
+                                          replace=False)
+            for idx in choices:
+                sweep = sweeps[int(idx)]
+                ps = self._load(sweep['data_path'])
+                if self.remove_close:
+                    ps = self._remove_close(ps)
+                rot = np.asarray(sweep['sensor2lidar_rotation'], np.float32)
+                ps[:, :3] = ps[:, :3] @ rot.T
+                ps[:, :3] += np.asarray(sweep['sensor2lidar_translation'],
+                                        np.float32)
+                ps[:, 4] = ts - float(sweep['timestamp']) / 1e6
+                out.append(ps)
+        results['points'] = np.concatenate(out, 0)[:, self.use_dim]
+        return results
+
+
+@PIPELINES.register_module()
 class PointsRangeFilter:
     def __init__(self, point_cloud_range):
         self.pcr = np.asarray(point_cloud_range, np.float32)
