@@ -17,7 +17,12 @@ db_sampler = dict(
 
 train_pipeline = [
     dict(type='LoadPointsFromFile', load_dim=4, use_dim=4),
-    dict(type='ObjectSample', db_sampler=db_sampler),
+    dict(type='ObjectSample', db_sampler=db_sampler,
+         use_ground_plane=True),
+    dict(type='ObjectNoise', num_try=100,
+         translation_std=[1.0, 1.0, 0.0],
+         global_rot_range=[0.0, 0.0],
+         rot_range=[-0.78539816, 0.78539816]),
     dict(type='RandomFlip3D', flip_ratio_bev_horizontal=0.5),
     dict(type='GlobalRotScaleTrans', rot_range=[-0.78539816, 0.78539816],
          scale_ratio_range=[0.95, 1.05]),
@@ -34,9 +39,11 @@ test_pipeline = [
 
 data = dict(
     samples_per_gpu=6,
-    train=dict(type=dataset_type, data_root=data_root,
+    train=dict(
+        type='RepeatDataset', times=2,   # reference kitti bases: effective 80-epoch cyclic_40e
+        dataset=dict(type=dataset_type, data_root=data_root,
                ann_file=data_root + 'kitti_infos_train.pkl',
-               pipeline=train_pipeline, classes=class_names),
+               pipeline=train_pipeline, classes=class_names)),
     val=dict(type=dataset_type, data_root=data_root,
              ann_file=data_root + 'kitti_infos_val.pkl',
              pipeline=test_pipeline, classes=class_names, test_mode=False),

@@ -32,9 +32,11 @@ test_pipeline = [
 
 data = dict(
     samples_per_gpu=4,
-    train=dict(type=dataset_type, data_root=data_root,
+    train=dict(
+        type='CBGSDataset',   # reference nus config :156-158
+        dataset=dict(type=dataset_type, data_root=data_root,
                ann_file=data_root + 'nuscenes_infos_train.pkl',
-               pipeline=train_pipeline, classes=class_names),
+               pipeline=train_pipeline, classes=class_names)),
     val=dict(type=dataset_type, data_root=data_root,
              ann_file=data_root + 'nuscenes_infos_val.pkl',
              pipeline=test_pipeline, classes=class_names, test_mode=False),

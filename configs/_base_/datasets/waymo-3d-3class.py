@@ -6,6 +6,7 @@ point_cloud_range = [-74.88, -74.88, -2, 74.88, 74.88, 4]
 
 train_pipeline = [
     dict(type='LoadPointsFromFile', load_dim=6, use_dim=5),
+    dict(type='NormalizeIntensityTanh', intensity_column=3),
     dict(type='RandomFlip3D', flip_ratio_bev_horizontal=0.5,
          flip_ratio_bev_vertical=0.5),
     dict(type='GlobalRotScaleTrans', rot_range=[-0.78539816, 0.78539816],
@@ -17,6 +18,7 @@ train_pipeline = [
 ]
 test_pipeline = [
     dict(type='LoadPointsFromFile', load_dim=6, use_dim=5),
+    dict(type='NormalizeIntensityTanh', intensity_column=3),
     dict(type='PointsRangeFilter', point_cloud_range=point_cloud_range),
     dict(type='Pad3D', num_points=180000, num_gt=256),
 ]

@@ -160,3 +160,75 @@ class CowaDataset(KittiDataset):
                 ('mAP', lambda k: k['breakdown'] == 'All'),
                 ('mAP_near', lambda k: k['breakdown'] == 'D0_30'),
             ])
+
+
+@DATASETS.register_module()
+class RepeatDataset:
+    """Repeat a dataset N times per epoch (upstream mmdet RepeatDataset —
+    the reference KITTI bases wrap train with times=2,
+    ``configs/_base_/datasets/kitti-3d-3class.py:107-109``, making
+    cyclic_40e an effective 80-epoch schedule)."""
+
+    def __init__(self, dataset, times: int):
+        self.dataset = (DATASETS.build(dataset) if isinstance(dataset, dict)
+                        else dataset)
+        self.times = int(times)
+        self.CLASSES = self.dataset.CLASSES
+
+    def __len__(self):
+        return self.times * len(self.dataset)
+
+    def __getitem__(self, idx):
+        return self.dataset[idx % len(self.dataset)]
+
+    def get_ann_info(self, idx):
+        return self.dataset.get_ann_info(idx % len(self.dataset))
+
+    def evaluate(self, *args, **kwargs):
+        return self.dataset.evaluate(*args, **kwargs)
+
+
+@DATASETS.register_module()
+class CBGSDataset:
+    """Class-balanced grouping and sampling (the CBGS paper's resampling;
+    upstream mmdet3d ``CBGSDataset`` — the reference nuScenes config wraps
+    train with it,
+    ``configs/nuscenes/centerpoint_02pillar_second_secfpn_8x4_cyclic_20e_nus.py:156-158``).
+
+    Each sample index is duplicated so every class's share of (sample,
+    class) memberships approaches 1/num_classes."""
+
+    def __init__(self, dataset, seed: int = 0):
+        self.dataset = (DATASETS.build(dataset) if isinstance(dataset, dict)
+                        else dataset)
+        self.CLASSES = self.dataset.CLASSES
+        rng = np.random.RandomState(seed)
+        ncls = len(self.CLASSES)
+        cls_inds = {c: [] for c in range(ncls)}
+        for idx in range(len(self.dataset)):
+            labels = np.unique(self.dataset.get_ann_info(idx)['gt_labels'])
+            for lab in labels:
+                if 0 <= int(lab) < ncls:
+                    cls_inds[int(lab)].append(idx)
+        total = sum(len(v) for v in cls_inds.values())
+        frac = 1.0 / max(ncls, 1)
+        indices = []
+        for inds in cls_inds.values():
+            if not inds or not total:
+                continue
+            ratio = frac / (len(inds) / total)
+            indices.extend(rng.choice(
+                inds, int(len(inds) * ratio)).tolist())
+        self.indices = indices or list(range(len(self.dataset)))
+
+    def __len__(self):
+        return len(self.indices)
+
+    def __getitem__(self, idx):
+        return self.dataset[self.indices[idx]]
+
+    def get_ann_info(self, idx):
+        return self.dataset.get_ann_info(self.indices[idx])
+
+    def evaluate(self, *args, **kwargs):
+        return self.dataset.evaluate(*args, **kwargs)

@@ -376,3 +376,80 @@ def collate_batch(samples: List[Dict]) -> Dict:
         out[key] = np.stack([s[key] for s in samples], 0)
     out['metas'] = [s.get('meta', {}) for s in samples]
     return out
+
+
+@PIPELINES.register_module()
+class ObjectNoise:
+    """Per-object pose noise with collision rejection (upstream mmdet3d
+    ``ObjectNoise`` / SECOND's ``noise_per_object_v3_``; every reference
+    KITTI base pipeline applies it after ObjectSample —
+    ``/root/reference/configs/_base_/datasets/kitti-3d-3class.py:37-42``).
+
+    For each gt box, draw up to ``num_try`` (translation, yaw) candidates;
+    apply the first whose noised BEV rectangle does not overlap any OTHER
+    current gt box.  The box's interior points rotate about the box center
+    with it and translate along.
+    """
+
+    def __init__(self, num_try: int = 100,
+                 translation_std=(1.0, 1.0, 0.0),
+                 global_rot_range=(0.0, 0.0),
+                 rot_range=(-0.78539816, 0.78539816), seed: int = 0):
+        assert tuple(global_rot_range) == (0.0, 0.0), \
+            'per-object global rotation noise is not supported (every ' \
+            'reference config zeroes it)'
+        self.num_try = num_try
+        self.translation_std = np.asarray(translation_std, np.float64)
+        self.rot_range = rot_range
+        self.rng = np.random.RandomState(seed)
+
+    @staticmethod
+    def _in_box(points, box):
+        d = points[:, :2] - box[0:2]
+        c, s = np.cos(box[6]), np.sin(box[6])
+        lx = c * d[:, 0] + s * d[:, 1]
+        ly = -s * d[:, 0] + c * d[:, 1]
+        return ((np.abs(lx) <= box[3] / 2) & (np.abs(ly) <= box[4] / 2)
+                & (points[:, 2] >= box[2]) & (points[:, 2] <= box[2]
+                                              + box[5]))
+
+    def __call__(self, results):
+        from ..core.evaluation.geometry_np import rotated_intersection_area
+        boxes = results['gt_bboxes']
+        points = results['points']
+        g = len(boxes)
+        if g == 0:
+            return results
+        trans = self.rng.normal(
+            scale=self.translation_std, size=(g, self.num_try, 3))
+        angles = self.rng.uniform(self.rot_range[0], self.rot_range[1],
+                                  (g, self.num_try))
+        for i in range(g):
+            others = np.delete(boxes, i, axis=0)
+            cand = np.tile(boxes[i][None], (self.num_try, 1))
+            cand[:, 0:3] += trans[i]
+            cand[:, 6] += angles[i]
+            if len(others):
+                bev = np.c_[cand[:, 0:2], cand[:, 3:5], cand[:, 6:7]]
+                obev = np.c_[others[:, 0:2], others[:, 3:5], others[:, 6:7]]
+                inter = rotated_intersection_area(
+                    bev.astype(np.float64), obev.astype(np.float64))
+                ok = (inter < 1e-9).all(axis=1)
+            else:
+                ok = np.ones(self.num_try, bool)
+            hits = np.flatnonzero(ok)
+            if len(hits) == 0:
+                continue                       # keep the original pose
+            k = hits[0]
+            mask = self._in_box(points, boxes[i])
+            ctr = boxes[i][0:3].copy()
+            a = angles[i, k]
+            c, s = np.cos(a), np.sin(a)
+            d = points[mask, 0:2] - ctr[None, 0:2]
+            points[mask, 0] = c * d[:, 0] - s * d[:, 1] + ctr[0]
+            points[mask, 1] = s * d[:, 0] + c * d[:, 1] + ctr[1]
+            points[mask, 0:3] += trans[i, k][None]
+            boxes[i] = cand[k]
+        results['points'] = points
+        results['gt_bboxes'] = boxes
+        return results

@@ -18,8 +18,12 @@ def test_config_loads(path):
     cfg = Config.fromfile(path)
     assert 'model' in cfg, path
     assert 'data' in cfg and 'train' in cfg.data, path
-    # every dataset cfg names a registered type and a pipeline
+    # every dataset cfg names a registered type and a pipeline (possibly
+    # under a RepeatDataset / CBGSDataset wrapper, like the reference)
     train = cfg.data['train']
+    assert 'type' in train, path
+    if train['type'] in ('RepeatDataset', 'CBGSDataset'):
+        train = train['dataset']
     assert 'type' in train and 'pipeline' in train, path
     # loss config sanity on GD configs: the loss type must be registered
     head = cfg.get('head', {})

@@ -224,3 +224,85 @@ def test_dbsampler_vel_boxes_and_objectsample_pad(tmp_path):
     r = os_t(r)
     assert r['gt_bboxes'].shape[1] == 9        # sampled rows zero-padded
     assert len(r['gt_bboxes']) == len(r['gt_labels']) > 2
+
+
+def test_object_noise_transform():
+    """ObjectNoise: a box's pose is perturbed, its interior points follow
+    rigidly, other points stay put, and noised boxes never collide."""
+    import mmdet3d_gaussian_tpu  # noqa: F401
+    from mmdet3d_gaussian_tpu.datasets.pipelines import ObjectNoise
+    from mmdet3d_gaussian_tpu.core.evaluation.geometry_np import \
+        rotated_intersection_area
+
+    rng = np.random.RandomState(0)
+    boxes = np.array([[0., 0., -1., 4., 2., 1.5, 0.2],
+                      [12., 0., -1., 4., 2., 1.5, -0.4]], np.float32)
+    # points: 30 inside each box + background
+    pts = []
+    for b in boxes:
+        local = rng.uniform(-0.4, 0.4, (30, 3)) * b[3:6]
+        c, s = np.cos(b[6]), np.sin(b[6])
+        xy = np.c_[c * local[:, 0] - s * local[:, 1],
+                   s * local[:, 0] + c * local[:, 1]]
+        pts.append(np.c_[xy + b[:2], local[:, 2:3] + b[2] + b[5] / 2,
+                         np.ones((30, 1))])
+    bg = np.c_[rng.uniform(30, 40, (20, 2)), rng.uniform(-2, 0, (20, 1)),
+               np.ones((20, 1))]
+    points = np.concatenate(pts + [bg]).astype(np.float32)
+
+    t = ObjectNoise(num_try=100, translation_std=[1.0, 1.0, 0.0],
+                    global_rot_range=[0.0, 0.0],
+                    rot_range=[-0.78539816, 0.78539816], seed=3)
+    out = t(dict(points=points.copy(), gt_bboxes=boxes.copy(),
+                 gt_labels=np.zeros(2, np.int64)))
+    nb = out['gt_bboxes']
+    assert not np.allclose(nb, boxes)            # poses actually changed
+    # z translation std 0 -> z and dims unchanged
+    np.testing.assert_allclose(nb[:, 2:6], boxes[:, 2:6], atol=1e-6)
+    # interior points moved rigidly with their box: still inside, count kept
+    for i in range(2):
+        inside = ObjectNoise._in_box(out['points'], nb[i])
+        assert inside.sum() == 30, (i, int(inside.sum()))
+    # background untouched
+    np.testing.assert_allclose(out['points'][-20:], bg, atol=0)
+    # no collisions among noised boxes
+    bev = np.c_[nb[:, 0:2], nb[:, 3:5], nb[:, 6:7]].astype(np.float64)
+    inter = rotated_intersection_area(bev, bev)
+    assert inter[0, 1] < 1e-9
+
+
+def test_repeat_and_cbgs_wrappers():
+    import mmdet3d_gaussian_tpu  # noqa: F401
+    from mmdet3d_gaussian_tpu.datasets.other_datasets import (CBGSDataset,
+                                                              RepeatDataset)
+
+    class Stub:
+        CLASSES = ('a', 'b')
+
+        def __len__(self):
+            return 4
+
+        def __getitem__(self, idx):
+            return idx
+
+        def get_ann_info(self, idx):
+            # class 1 appears only in sample 3 -> CBGS must oversample it
+            labels = [np.array([0]), np.array([0]), np.array([0]),
+                      np.array([0, 1])]
+            return dict(gt_labels=labels[idx])
+
+        def evaluate(self, results, **kw):
+            return dict(n=len(results))
+
+    rep = RepeatDataset(Stub(), times=3)
+    assert len(rep) == 12
+    assert rep[5] == 1 and rep.get_ann_info(11)['gt_labels'][-1] == 1
+    assert rep.evaluate([1, 2]) == dict(n=2)
+
+    cb = CBGSDataset(Stub(), seed=0)
+    picked = [cb[i] for i in range(len(cb))]
+    # the rare-class sample is drawn at a much higher rate than its 1/4
+    # natural share (upstream CBGS targets 1/num_classes per class)
+    frac3 = picked.count(3) / len(picked)
+    assert frac3 > 0.3, (frac3, picked)
+    assert cb.evaluate([1]) == dict(n=1)
