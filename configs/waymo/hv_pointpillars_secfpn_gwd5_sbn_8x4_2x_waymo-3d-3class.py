@@ -20,7 +20,13 @@ model = dict(
 head = dict(
     num_classes=3,
     anchor_generator=dict(
-        ranges=[[-74.88, -74.88, 0, 74.88, 74.88, 0]] * 3,
+        # reference AlignedAnchor3DRangeGenerator with per-class z
+        # (hv_pointpillars_secfpn_waymo.py:46-57): car -0.0345,
+        # pedestrian 0, cyclist -0.1188 (rows follow our class order)
+        aligned=True,
+        ranges=[[-74.88, -74.88, -0.0345, 74.88, 74.88, -0.0345],
+                [-74.88, -74.88, 0.0, 74.88, 74.88, 0.0],
+                [-74.88, -74.88, -0.1188, 74.88, 74.88, -0.1188]],
         sizes=[[4.73, 2.08, 1.77], [0.91, 0.84, 1.74], [1.81, 0.84, 1.77]],
         rotations=[0.0, 1.57],
     ),

@@ -5,7 +5,8 @@ model = dict(head_cfg=dict(num_classes=1, num_anchors=2))
 head = dict(
     num_classes=1,
     anchor_generator=dict(
-        ranges=[[-74.88, -74.88, 0, 74.88, 74.88, 0]],
+        aligned=True,
+        ranges=[[-74.88, -74.88, -0.0345, 74.88, 74.88, -0.0345]],
         sizes=[[4.73, 2.08, 1.77]],
         rotations=[0.0, 1.57],
     ),

@@ -31,7 +31,14 @@ class Anchor3DRangeGenerator:
                  rotations: Sequence[float] = (0.0, 1.5707963),
                  custom_values: Sequence[float] = (),
                  reshape_out: bool = False,
-                 size_per_range: bool = True):
+                 size_per_range: bool = True,
+                 aligned: bool = False):
+        # aligned=True: anchor centers sit at BEV CELL CENTERS
+        # (lo + (i+0.5)*bin) instead of the inclusive-endpoint linspace —
+        # upstream ``AlignedAnchor3DRangeGenerator`` (align_corner=False),
+        # which every reference Waymo config uses
+        # (``hv_pointpillars_secfpn_waymo.py:47``).
+        self.aligned = aligned
         if size_per_range:
             if len(ranges) != len(sizes):
                 assert len(ranges) == 1
@@ -59,8 +66,14 @@ class Anchor3DRangeGenerator:
         per_size = []
         for rng, size in zip(self.ranges, self.sizes):
             x0, y0, z0, x1, y1, z1 = rng
-            xs = np.linspace(x0, x1, w, dtype=np.float32)
-            ys = np.linspace(y0, y1, h, dtype=np.float32)
+            if self.aligned:
+                xs = (x0 + (np.arange(w, dtype=np.float32) + 0.5)
+                      * (x1 - x0) / w)
+                ys = (y0 + (np.arange(h, dtype=np.float32) + 0.5)
+                      * (y1 - y0) / h)
+            else:
+                xs = np.linspace(x0, x1, w, dtype=np.float32)
+                ys = np.linspace(y0, y1, h, dtype=np.float32)
             zs = np.float32(z0)
             xg, yg = np.meshgrid(xs, ys)           # (H, W)
             ctr = np.stack([xg, yg, np.full_like(xg, zs)], axis=-1)
