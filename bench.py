@@ -101,6 +101,8 @@ def _probe_time(fn, *args, n_lo=2, n_hi=8):
 
 
 def main():
+    from mmdet3d_gaussian_tpu.utils import xla_tuning
+    xla_tuning.enable()   # disable space-to-batch: 60.5 -> 40.7 ms/step
     import jax
     try:
         from mmdet3d_gaussian_tpu.utils import cache as _cc

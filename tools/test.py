@@ -15,6 +15,10 @@ import os
 
 import numpy as np
 
+from mmdet3d_gaussian_tpu.utils import xla_tuning
+
+xla_tuning.enable()   # must precede first backend use (see module docstring)
+
 
 def parse_args():
     p = argparse.ArgumentParser(description='Test a TPU 3D detector')

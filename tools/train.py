@@ -21,6 +21,10 @@ import time
 
 import numpy as np
 
+from mmdet3d_gaussian_tpu.utils import xla_tuning
+
+xla_tuning.enable()   # must precede first backend use (see module docstring)
+
 
 def parse_args():
     p = argparse.ArgumentParser(description='Train a TPU 3D detector')
