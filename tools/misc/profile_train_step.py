@@ -35,11 +35,24 @@ def main():
 
     bf16 = os.environ.get('BENCH_BF16', '0') == '1'
     vox = os.environ.get('BENCH_VOXELIZE', 'dynamic')
-    mc = dict(voxelize_mode=vox)
+    scale = os.environ.get('BENCH_SCALE', 'kitti')
+    hc = None
+    if scale == 'waymo':
+        import bench as _bench
+        mc = dict(_bench.WAYMO_MODEL)
+        hc = dict(_bench.WAYMO_HEAD)
+        bsz, npts, pcr = 2, 180000, mc['point_cloud_range']
+        nfeat = 5
+    else:
+        mc = {}
+        bsz, npts, pcr = 4, 16384, (0., -39.68, -3., 69.12, 39.68, 1.)
+        nfeat = 4
+    mc['voxelize_mode'] = vox
     if bf16:
         mc['compute_dtype'] = 'bfloat16'
-    det = PointPillarsDetector(model_cfg=mc)
-    batch = synthetic_batch(batch_size=4, num_points=16384, num_gt=16)
+    det = PointPillarsDetector(model_cfg=mc, head_cfg=hc)
+    batch = synthetic_batch(batch_size=bsz, num_points=npts, num_gt=16,
+                            pc_range=pcr, num_feats=nfeat)
     variables = jax.jit(det.init)(jax.random.PRNGKey(0), batch)
     opt = ts.make_optimizer(1e-3, total_steps=1000)
     state = ts.init_state(variables['params'], variables['batch_stats'], opt)
