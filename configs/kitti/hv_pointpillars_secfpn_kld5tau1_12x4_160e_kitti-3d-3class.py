@@ -4,6 +4,7 @@ _base_ = [
     '../_base_/models/hv_pointpillars_secfpn_kitti.py',
     '../_base_/datasets/kitti-3d-3class.py',
     '../_base_/schedules/cyclic_40e.py',
+    '../_base_/default_runtime.py',
 ]
 
 head = dict(

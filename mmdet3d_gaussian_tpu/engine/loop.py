@@ -96,11 +96,26 @@ def restore_checkpoint(path: str, target):
 def run_training(det, cfg, work_dir: str, seed: int = 0,
                  max_steps: Optional[int] = None,
                  resume_from: Optional[str] = None,
-                 eval_interval: int = 0, log_interval: int = 50,
+                 load_from: Optional[str] = None,
+                 eval_interval: Optional[int] = None,
+                 log_interval: Optional[int] = None,
                  profile_steps: Optional[tuple] = None):
+    """Runtime knobs resolve CLI-arg -> config key -> default, mirroring the
+    reference's ``configs/_base_/default_runtime.py:1-18`` keys
+    (``checkpoint_config.interval``, ``log_config.interval``,
+    ``evaluation.interval``, ``load_from``, ``resume_from``)."""
     import jax
     from ..parallel import train_state as ts
     from ..parallel.mesh import make_mesh, shard_batch, use_mesh
+
+    resume_from = resume_from or cfg.get('resume_from')
+    load_from = load_from or cfg.get('load_from')
+    if log_interval is None:
+        log_interval = int((cfg.get('log_config') or {}).get('interval', 50))
+    if eval_interval is None:
+        eval_interval = int((cfg.get('evaluation') or {}).get('interval', 0))
+    ckpt_interval = int((cfg.get('checkpoint_config') or {})
+                        .get('interval', 1))
 
     ds, make_iter = build_dataloader(cfg, 'train')
     epochs = int(cfg.get('max_epochs', 40))
@@ -108,7 +123,8 @@ def run_training(det, cfg, work_dir: str, seed: int = 0,
     steps_per_epoch = max(1, len(ds) // batch_size)
     total_steps = max_steps or epochs * steps_per_epoch
 
-    optimizer = ts.make_optimizer_from_cfg(cfg, total_steps)
+    optimizer = ts.make_optimizer_from_cfg(cfg, total_steps,
+                                           steps_per_epoch=steps_per_epoch)
 
     # init from one real batch (close the iterator so its prefetch pool
     # doesn't linger loading samples nobody will consume)
@@ -121,6 +137,12 @@ def run_training(det, cfg, work_dir: str, seed: int = 0,
                           optimizer)
     if resume_from:
         state = restore_checkpoint(resume_from, state)
+    elif load_from:
+        # reference `load_from` semantics: warm-start WEIGHTS only — step
+        # and optimizer state restart fresh (mmcv runner.load_checkpoint)
+        loaded = restore_checkpoint(load_from, state)
+        state = state._replace(params=loaded.params,
+                               batch_stats=loaded.batch_stats)
 
     def apply_fn(vs, b, train):
         return det.apply_train(vs, b)
@@ -189,12 +211,14 @@ def run_training(det, cfg, work_dir: str, seed: int = 0,
                     break
             pf.close()   # unblock the producer on early exit
             import jax as _jax
-            meta = dict(step=step, epoch=epoch,
-                        classes=list(getattr(ds, 'CLASSES', []) or []),
-                        jax_version=_jax.__version__,
-                        config=cfg.to_dict() if hasattr(cfg, 'to_dict')
-                        else None)
-            save_checkpoint(work_dir, state, step, meta=meta)
+            last_epoch = (epoch + 1 == epochs) or step >= total_steps
+            if (epoch + 1) % ckpt_interval == 0 or last_epoch:
+                meta = dict(step=step, epoch=epoch,
+                            classes=list(getattr(ds, 'CLASSES', []) or []),
+                            jax_version=_jax.__version__,
+                            config=cfg.to_dict() if hasattr(cfg, 'to_dict')
+                            else None)
+                save_checkpoint(work_dir, state, step, meta=meta)
             # training-time evaluation (the reference's evaluation hook,
             # `evaluation = dict(interval=...)` in every config)
             if (eval_interval and (epoch + 1) % eval_interval == 0

@@ -45,9 +45,11 @@ def make_optimizer(base_lr: float, total_steps: int,
                    target_ratio=(10.0, 1e-4), step_ratio_up: float = 0.4,
                    momentum_target_ratio=None,
                    warmup: Optional[Dict[str, Any]] = None,
-                   params_example=None) -> optax.GradientTransformation:
-    lr_sched = cyclic_schedule(base_lr, total_steps, target_ratio,
-                               step_ratio_up=step_ratio_up)
+                   params_example=None,
+                   lr_schedule: Optional[Callable] = None
+                   ) -> optax.GradientTransformation:
+    lr_sched = lr_schedule or cyclic_schedule(
+        base_lr, total_steps, target_ratio, step_ratio_up=step_ratio_up)
     if momentum_target_ratio is not None:
         # cyclic momentum (reference momentum_config, cyclic_40e.py:22-27):
         # b1 cycles base*r_up -> base over the same one-cycle shape
@@ -71,7 +73,39 @@ def make_optimizer(base_lr: float, total_steps: int,
     return optax.chain(*txs)
 
 
-def make_optimizer_from_cfg(cfg, total_steps: int
+def make_lr_schedule_from_cfg(cfg, total_steps: int,
+                              steps_per_epoch: Optional[int] = None
+                              ) -> Optional[Callable]:
+    """Non-cyclic LR policies from ``lr_config`` (None -> cyclic default).
+
+    ``policy='step'`` (reference ``schedule_2x.py``): decay by ``gamma`` at
+    epoch milestones ``step`` (converted via ``steps_per_epoch``), with
+    optional ``warmup='linear'`` over ``warmup_iters`` starting at
+    ``warmup_ratio`` x base.
+    """
+    opt_cfg = dict(cfg.get('optimizer', {}))
+    lr_cfg = dict(cfg.get('lr_config', {}))
+    if lr_cfg.get('policy') != 'step':
+        return None
+    from ..core.schedules import step_schedule
+    base_lr = float(opt_cfg.get('lr', 1e-3))
+    spe = steps_per_epoch or max(
+        1, total_steps // int(cfg.get('max_epochs', 1) or 1))
+    milestones = [int(m * spe) for m in lr_cfg.get('step', [])]
+    base_sched = step_schedule(base_lr, milestones,
+                               float(lr_cfg.get('gamma', 0.1)))
+    wi = int(lr_cfg.get('warmup_iters', 0))
+    wr = float(lr_cfg.get('warmup_ratio', 1.0))
+    if lr_cfg.get('warmup') == 'linear' and wi > 0:
+        def warmed(step, _b=base_sched, _wi=wi, _wr=wr):
+            frac = jnp.minimum(jnp.asarray(step, jnp.float32) / _wi, 1.0)
+            return _b(step) * (_wr + (1.0 - _wr) * frac)
+        return warmed
+    return base_sched
+
+
+def make_optimizer_from_cfg(cfg, total_steps: int,
+                            steps_per_epoch: Optional[int] = None
                             ) -> optax.GradientTransformation:
     """Build the optimizer from a config dict, exactly as training does.
 
@@ -80,11 +114,19 @@ def make_optimizer_from_cfg(cfg, total_steps: int
     masked schedule links in the chain), so checkpoint-restore targets in
     tools/test.py / tools/export.py must be built through this same path or
     orbax restore fails on a structure mismatch.
+
+    ``lr_config.policy`` supports ``'cyclic'`` (default,
+    reference ``configs/_base_/schedules/cyclic_40e.py``) and ``'step'``
+    with optional linear warmup (``schedule_2x.py``: ``warmup='linear'``,
+    ``warmup_iters``, ``warmup_ratio``, ``step=[epoch, ...]`` — epoch
+    milestones converted with ``steps_per_epoch``).
     """
     opt_cfg = dict(cfg.get('optimizer', {}))
     lr_cfg = dict(cfg.get('lr_config', {}))
     mom_cfg = cfg.get('momentum_config')
     return make_optimizer(
+        lr_schedule=make_lr_schedule_from_cfg(cfg, total_steps,
+                                              steps_per_epoch),
         base_lr=float(opt_cfg.get('lr', 1e-3)),
         total_steps=total_steps,
         betas=tuple(opt_cfg.get('betas', (0.95, 0.99))),

@@ -20,18 +20,48 @@ call multiple times; appends to, never overwrites, an existing
 from __future__ import annotations
 
 import os
+import re
+import sys
 
 __all__ = ['enable', 'DISABLED_PASSES']
 
 DISABLED_PASSES = ('space-to-batch-converter',)
 
+_PASS_FLAG_RE = re.compile(r'(--xla_disable_hlo_passes=)([^\s]*)')
+
+
+def _backend_initialized() -> bool:
+    """True if a jax backend already parsed XLA_FLAGS (flag would no-op)."""
+    xb = sys.modules.get('jax._src.xla_bridge')
+    return bool(xb is not None and getattr(xb, '_backends', None))
+
 
 def enable() -> None:
-    """Append the workload's XLA flag overrides to ``XLA_FLAGS``."""
+    """Append the workload's XLA flag overrides to ``XLA_FLAGS``.
+
+    If the user already passes ``--xla_disable_hlo_passes``, our passes are
+    MERGED into their list (dedup'd) rather than dropped, so the ~20 ms/step
+    space-to-batch win survives user debugging sessions.
+    """
     if os.environ.get('MMDET3D_TPU_NO_XLA_TUNING') == '1':
         return
+    if _backend_initialized():
+        print('mmdet3d_gaussian_tpu.utils.xla_tuning: WARNING — jax backend '
+              'already initialized; XLA_FLAGS changes will not take effect '
+              'this process. Call enable() before first jax use.',
+              file=sys.stderr)
     flags = os.environ.get('XLA_FLAGS', '')
-    if '--xla_disable_hlo_passes' in flags:
-        return   # user already manages the pass list; don't fight them
+    m = _PASS_FLAG_RE.search(flags)
+    if m:
+        have = [p for p in m.group(2).split(',') if p]
+        merged = have + [p for p in DISABLED_PASSES if p not in have]
+        if merged != have:
+            print('mmdet3d_gaussian_tpu.utils.xla_tuning: merging '
+                  f'{DISABLED_PASSES} into existing --xla_disable_hlo_passes',
+                  file=sys.stderr)
+        os.environ['XLA_FLAGS'] = (
+            flags[:m.start()] + m.group(1) + ','.join(merged)
+            + flags[m.end():])
+        return
     opt = '--xla_disable_hlo_passes=' + ','.join(DISABLED_PASSES)
     os.environ['XLA_FLAGS'] = (flags + ' ' + opt).strip()

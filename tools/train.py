@@ -30,12 +30,17 @@ def parse_args():
     p = argparse.ArgumentParser(description='Train a TPU 3D detector')
     p.add_argument('config', help='config file path')
     p.add_argument('--work-dir', default=None)
-    p.add_argument('--resume-from', default=None)
+    p.add_argument('--resume-from', default=None,
+                   help='full train-state resume (or cfg resume_from)')
+    p.add_argument('--load-from', default=None,
+                   help='weights-only warm start (or cfg load_from)')
     p.add_argument('--seed', type=int, default=0)
     p.add_argument('--max-steps', type=int, default=None,
                    help='override total optimization steps')
-    p.add_argument('--eval-interval', type=int, default=0)
-    p.add_argument('--log-interval', type=int, default=50)
+    p.add_argument('--eval-interval', type=int, default=None,
+                   help='epochs between val runs (default: cfg evaluation.interval)')
+    p.add_argument('--log-interval', type=int, default=None,
+                   help='steps between log lines (default: cfg log_config.interval)')
     p.add_argument('--profile-steps', type=int, nargs=2, default=None,
                    metavar=('START', 'STOP'),
                    help='capture a jax.profiler trace between these steps')
@@ -89,6 +94,7 @@ def main():
         det = PointPillarsDetector(model_cfg=mcfg, head_cfg=cfg.get('head'))
     run_training(det, cfg, work_dir, seed=args.seed,
                  max_steps=args.max_steps, resume_from=args.resume_from,
+                 load_from=args.load_from,
                  eval_interval=args.eval_interval,
                  log_interval=args.log_interval,
                  profile_steps=tuple(args.profile_steps)
