@@ -363,7 +363,9 @@ class CenterHead:
         boxes = jnp.concatenate(boxes_all, 0)
         scores = jnp.concatenate(scores_all, 0)
         labels = jnp.concatenate(labels_all, 0)
-        max_num = int(cfg.get('post_max_size', 83))
+        # cap by the candidate pool: post_max_size can exceed
+        # n_tasks * max_per_img on small-task configs
+        max_num = min(int(cfg.get('post_max_size', 83)), scores.shape[0])
         final, idx = jax.lax.top_k(scores, max_num)
         return boxes[idx], final, labels[idx], final > score_thr
 

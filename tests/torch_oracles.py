@@ -551,3 +551,263 @@ class QueryAndGroupOracle(nn.Module):
                 return torch.cat([grouped_xyz, gf], dim=1), idx
             return gf, idx
         return grouped_xyz, idx
+
+
+# ---------------------------------------------------------------------------
+# Detection-chain oracles: decode -> NMS -> select (VERDICT r2 missing #1).
+# Transcribed from the reference sources cited inline; rotated IoU comes from
+# the repo's numpy geometry (itself cross-checked against csrc and the
+# reference's rbox_utils semantics in test_rotated_iou / test_eval_native),
+# so what these oracles pin is the CHAIN protocol: top-k semantics, decode,
+# score/range gating, suppression order, per-task merge.
+# ---------------------------------------------------------------------------
+def circle_nms_oracle(dets, thresh, post_max_size=83):
+    """mmdet3d ``circle_nms`` (numba) transcription: greedy suppression by
+    SQUARED center distance <= thresh, descending score order (the
+    reference calls it at gd_centerpoint_head.py:264-268)."""
+    import numpy as np
+    x1, y1, scores = dets[:, 0], dets[:, 1], dets[:, 2]
+    order = scores.argsort()[::-1].astype(np.int64)
+    nd = dets.shape[0]
+    suppressed = np.zeros(nd, bool)
+    keep = []
+    for _i in range(nd):
+        i = order[_i]
+        if suppressed[i]:
+            continue
+        keep.append(i)
+        for _j in range(_i + 1, nd):
+            j = order[_j]
+            if suppressed[j]:
+                continue
+            d2 = (x1[i] - x1[j]) ** 2 + (y1[i] - y1[j]) ** 2
+            if d2 <= thresh:
+                suppressed[j] = True
+    return np.asarray(keep[:post_max_size], np.int64)
+
+
+def nms_rotated_oracle(bev5, scores, thresh, pre_max_size=None,
+                       post_max_size=None):
+    """mmdet3d ``nms_gpu`` protocol (iou3d_utils): sort desc, optional
+    pre_max_size cut, greedy rotated-IoU suppression (suppress when
+    iou > thresh), optional post_max_size cut.  Returns kept indices into
+    the ORIGINAL arrays.  bev5 = (x, y, w, l, yaw)."""
+    import numpy as np
+    from mmdet3d_gaussian_tpu.core.evaluation.geometry_np import (
+        rotated_intersection_area)
+    order = scores.argsort()[::-1]
+    if pre_max_size is not None:
+        order = order[:pre_max_size]
+    n = len(order)
+    cand = bev5[order]
+    area = cand[:, 2] * cand[:, 3]
+    inter = rotated_intersection_area(cand, cand)
+    iou = inter / np.maximum(area[:, None] + area[None, :] - inter, 1e-8)
+    suppressed = np.zeros(n, bool)
+    keep = []
+    for a in range(n):
+        if suppressed[a]:
+            continue
+        keep.append(order[a])
+        for b in range(a + 1, n):
+            if not suppressed[b] and iou[a, b] > thresh:
+                suppressed[b] = True
+    if post_max_size is not None:
+        keep = keep[:post_max_size]
+    return np.asarray(keep, np.int64)
+
+
+class TorchCenterPointCoder:
+    """Reference ``CenterPointBBoxCoderRev`` (+ yaw variant) transcription
+    (core/bbox/coders/centerpoint_bbox_coders.py:7-112,
+    centerpoint_bbox_yaw_coders.py:8-56)."""
+
+    def __init__(self, pc_range, out_size_factor, voxel_size, code_size=9,
+                 norm_bbox=True, yaw_mode=False):
+        self.pc_range = pc_range
+        self.out_size_factor = out_size_factor
+        self.voxel_size = voxel_size
+        self.code_size = code_size
+        self.norm_bbox = norm_bbox
+        self.yaw_mode = yaw_mode
+
+    def _topk(self, scores, K=80):
+        batch, cat, height, width = scores.size()
+        topk_scores, topk_inds = torch.topk(scores.view(batch, cat, -1), K)
+        topk_inds = topk_inds % (height * width)
+        topk_ys = torch.div(topk_inds, width,
+                            rounding_mode='floor').long()
+        topk_xs = (topk_inds % width).long()
+        topk_score, topk_ind = torch.topk(topk_scores.view(batch, -1), K)
+        topk_clses = torch.div(topk_ind, K, rounding_mode='floor').long()
+        topk_ys = topk_ys.view(batch, -1).gather(dim=1, index=topk_ind)
+        topk_xs = topk_xs.view(batch, -1).gather(dim=1, index=topk_ind)
+        return topk_score, topk_clses, topk_ys, topk_xs
+
+    def select_best(self, scores, preds, topk):
+        batch = scores.size(0)
+        scores, clses, ys, xs = self._topk(scores, K=topk)
+        locs = torch.stack((xs, ys), dim=-1)
+        preds = preds.permute(0, 2, 3, 1)
+        preds = torch.stack(
+            [preds[b, ys[b], xs[b]] for b in range(batch)], dim=0)
+        return scores, clses, locs, preds
+
+    def decode(self, locs, preds, correct_yaw=True):
+        x = (preds[..., 0] + locs[..., 0]) * self.out_size_factor * \
+            self.voxel_size[0] + self.pc_range[0]
+        y = (preds[..., 1] + locs[..., 1]) * self.out_size_factor * \
+            self.voxel_size[1] + self.pc_range[1]
+        z = preds[..., 2]
+        dim = preds[..., 3:6]
+        if self.norm_bbox:
+            dim = dim.exp()
+        if not self.yaw_mode:
+            rot = torch.atan2(preds[..., 6], preds[..., 7])
+            others = preds[..., 8:]
+            return torch.cat((x.unsqueeze(-1), y.unsqueeze(-1),
+                              z.unsqueeze(-1), dim, rot.unsqueeze(-1),
+                              others), dim=-1)
+        yaw = preds[..., 6]
+        if correct_yaw:
+            import numpy as np
+            with torch.no_grad():
+                dr = torch.atan2(preds[..., 7], preds[..., 8])
+                num_rot90 = torch.floor((dr - yaw) / (np.pi / 2) + 0.5)
+                no_swap_wh = (num_rot90.long() % 2 == 0)
+            yaw = yaw + num_rot90 * (np.pi / 2)
+            dim = dim.where(no_swap_wh.unsqueeze(-1), dim[..., [1, 0, 2]])
+        others = preds[..., 9:]
+        return torch.cat((x.unsqueeze(-1), y.unsqueeze(-1),
+                          z.unsqueeze(-1), dim, yaw.unsqueeze(-1), others),
+                         dim=-1)
+
+
+def ref_centerhead_get_bboxes(preds_dicts, coder, num_classes_per_task,
+                              test_cfg):
+    """Reference ``CenterHeadRev.get_bboxes`` flow transcription
+    (gd_centerpoint_head.py:218-361) for ONE sample: per-task select_best
+    -> decode -> score/range gate -> circle or rotated NMS
+    (get_task_detections :304-361) -> merge with z -= h/2 and label flags.
+
+    preds_dicts: list per task of dicts of NCHW tensors (batch 1).
+    Returns (boxes_np (M, code-2), scores_np, labels_np)."""
+    import numpy as np
+    post_center_limit_range = test_cfg.get('post_center_limit_range', None)
+    max_per_img = test_cfg.get('max_per_img', 128)
+    score_threshold = test_cfg.get('score_threshold', 0.1)
+    rets = []
+    for task_id, preds_dict in enumerate(preds_dicts):
+        batch_heatmap = preds_dict['heatmap'].sigmoid()
+        parts = [preds_dict['reg'], preds_dict['height'], preds_dict['dim']]
+        if 'yaw' in preds_dict:
+            parts += [preds_dict['yaw'], preds_dict['dir']]
+        else:
+            parts += [preds_dict['rot']]
+        if 'vel' in preds_dict:
+            parts.append(preds_dict['vel'])
+        batch_pred = torch.cat(parts, dim=1)
+        scores, clses, locs, preds = coder.select_best(
+            batch_heatmap, batch_pred, max_per_img)
+        preds = coder.decode(locs, preds)
+        mask = scores.ge(score_threshold)
+        if post_center_limit_range is not None:
+            for i in range(3):
+                mask = mask * preds[..., i].ge(
+                    post_center_limit_range[i]) * preds[..., i].le(
+                        post_center_limit_range[i + 3])
+        boxes3d = preds[0][mask[0]]
+        sc = scores[0][mask[0]]
+        lb = clses[0][mask[0]]
+        if test_cfg['nms_type'] == 'circle':
+            dets = torch.cat([boxes3d[:, :2], sc.view(-1, 1)],
+                             dim=1).numpy()
+            keep = circle_nms_oracle(dets,
+                                     test_cfg['min_radius'][task_id],
+                                     post_max_size=test_cfg['post_max_size'])
+            keep = torch.as_tensor(keep, dtype=torch.long)
+        else:
+            bev5 = boxes3d[:, [0, 1, 3, 4, 6]].numpy()
+            keep = torch.as_tensor(
+                nms_rotated_oracle(bev5, sc.numpy(),
+                                   test_cfg['nms_thr'],
+                                   pre_max_size=test_cfg.get('pre_max_size'),
+                                   post_max_size=test_cfg.get(
+                                       'post_max_size')),
+                dtype=torch.long)
+        rets.append(dict(bboxes=boxes3d[keep], scores=sc[keep],
+                         labels=lb[keep]))
+    bboxes = torch.cat([r['bboxes'] for r in rets])
+    bboxes[:, 2] = bboxes[:, 2] - bboxes[:, 5] * 0.5
+    scores = torch.cat([r['scores'] for r in rets])
+    flag = 0
+    labels = []
+    for j, nc in enumerate(num_classes_per_task):
+        labels.append(rets[j]['labels'] + flag)
+        flag += nc
+    labels = torch.cat(labels).long()
+    return bboxes.numpy(), scores.numpy(), labels.numpy()
+
+
+def limit_period_np(val, offset=0.5, period=3.14159265358979):
+    import numpy as np
+    return val - np.floor(val / period + offset) * period
+
+
+def ref_anchorhead_get_bboxes(cls_score, bbox_pred, dir_pred, anchors,
+                              coder, num_classes, test_cfg,
+                              dir_offset=-3.14159265358979 / 2,
+                              dir_limit_offset=0.0):
+    """Upstream mmdet3d ``Anchor3DHead.get_bboxes_single`` +
+    ``box3d_multiclass_nms`` flow the reference test path uses (the
+    reference head overrides only loss; SURVEY.md §3.3): sigmoid scores,
+    nms_pre cut by max score, delta decode, per-class score_thr ->
+    rotated NMS on PRE-dir-correction yaw, global max_num cap, dir
+    correction applied after.  One sample, single level.
+
+    cls_score: (A, C) logits; bbox_pred (A, 7); dir_pred (A, 2);
+    anchors (A, 7) — numpy."""
+    import numpy as np
+    scores = 1.0 / (1.0 + np.exp(-cls_score.astype(np.float64)))
+    dir_scores = dir_pred.argmax(axis=-1)
+    nms_pre = test_cfg.get('nms_pre', 1000)
+    if nms_pre > 0 and scores.shape[0] > nms_pre:
+        max_scores = scores.max(axis=1)
+        topk = np.argsort(-max_scores)[:nms_pre]
+        anchors = anchors[topk]
+        bbox_pred = bbox_pred[topk]
+        scores = scores[topk]
+        dir_scores = dir_scores[topk]
+    tc = TorchDeltaXYZWLHRBBoxCoder()
+    boxes = tc.decode(torch.from_numpy(anchors.astype(np.float64)),
+                      torch.from_numpy(bbox_pred.astype(np.float64)))
+    boxes = boxes.numpy()
+    bev5 = boxes[:, [0, 1, 3, 4, 6]]
+    score_thr = test_cfg.get('score_thr', 0)
+    out_b, out_s, out_l, out_d = [], [], [], []
+    for c in range(num_classes):
+        sel = scores[:, c] > score_thr
+        if not sel.any():
+            continue
+        keep = nms_rotated_oracle(bev5[sel], scores[sel, c],
+                                  test_cfg['nms_thr'])
+        idx = np.where(sel)[0][keep]
+        out_b.append(boxes[idx])
+        out_s.append(scores[idx, c])
+        out_l.append(np.full(len(idx), c, np.int64))
+        out_d.append(dir_scores[idx])
+    if not out_b:
+        import numpy as np
+        return (np.zeros((0, 7)), np.zeros((0,)), np.zeros((0,), np.int64))
+    boxes = np.concatenate(out_b)
+    sc = np.concatenate(out_s)
+    lb = np.concatenate(out_l)
+    ds = np.concatenate(out_d)
+    max_num = test_cfg.get('max_num', 100)
+    if len(sc) > max_num:
+        order = np.argsort(-sc)[:max_num]
+        boxes, sc, lb, ds = boxes[order], sc[order], lb[order], ds[order]
+    dir_rot = limit_period_np(boxes[..., 6] - dir_offset,
+                              dir_limit_offset, np.pi)
+    boxes[..., 6] = dir_rot + dir_offset + np.pi * ds
+    return boxes, sc, lb
