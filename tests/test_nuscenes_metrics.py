@@ -147,3 +147,55 @@ def test_dataset_evaluate_nds(tmp_path):
     rep = ds.evaluate(results)
     assert rep['mAP'] == pytest.approx(1.0, abs=1e-6)
     assert rep['NDS'] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_golden_fixture_hand_computed():
+    """Golden scene (VERDICT r2 next #9): 1 frame, 1 class, 2 GT, 3 dets —
+    every TP error and the NDS asserted to 1e-6 against hand math.
+
+    Scene (class 'car'; det columns 0:7 box, 7:9 vel, 9 score):
+      G0 (0,0,0, 4,2,1.5, yaw 0, vel 0,0)    G1 (10,0,0, 4,2,1.5, 0, vel 1,0)
+      D0 (0.6,0): dims (2,2,1.5), yaw 0.1, vel (0.5,0), score 0.9
+      D1 (10,1):  dims (4,2,1.5), yaw pi/4, vel (1,2),  score 0.7
+      D2 (20,0):  far from all GT,                       score 0.5
+
+    Matching (devkit greedy by score, strict dist < th):
+      th 2.0 & 4.0: D0->G0 (d 0.6), D1->G1 (d 1.0), D2 FP
+        rec [.5,1,1], prec [1,1,2/3] -> AP = ((89*.9 + (2/3-.1))/90)/.9
+                                       = 0.9958847736625516
+      th 1.0: D1 at d=1.0 is NOT < 1.0 -> only D0 TP
+        rec [.5,.5,.5], prec [1,.5,1/3] -> AP = ((39*.9 + (1/3-.1))/90)/.9
+                                       = 0.4362139917695473
+      th 0.5: D0 at d=0.6 misses -> AP 0
+      class AP = mean = 0.6069958847736626
+
+    TP errors at th_tp = 2.0 (cumulative-mean interpolated over the
+    confidence curve conf_i, grid indices 11..100; conf_i = 0.9 below
+    recall 0.5, linear 0.9->0.7 to recall 1.0, 0.5 at the last point):
+      trans: per-det [0.6, 1.0]          -> mATE 0.6566666666666666
+      scale: 1 - aligned-IoU [0.5, 0.0]  -> mASE 0.4291666666666666
+      orient: [0.1, pi/4]                -> mAOE 0.19709807314797184
+      vel:   [0.5, 2.0]                  -> mAVE 0.7125
+    NDS = (5*mAP + sum(1 - clip(err))) / 9 = 0.5599497797096675
+    """
+    import numpy as np
+    from mmdet3d_gaussian_tpu.core.evaluation.nuscenes_metrics import (
+        nuscenes_eval)
+    dets = [[np.array([
+        [0.6, 0, 0, 2, 2, 1.5, 0.1, 0.5, 0, 0.9],
+        [10, 1, 0, 4, 2, 1.5, np.pi / 4, 1, 2, 0.7],
+        [20, 0, 0, 4, 2, 1.5, 0.0, 0, 0, 0.5],
+    ], np.float32)]]
+    anns = [dict(gt_bboxes=np.array([
+        [0, 0, 0, 4, 2, 1.5, 0, 0, 0],
+        [10, 0, 0, 4, 2, 1.5, 0, 1, 0],
+    ], np.float32), gt_labels=np.array([0, 0]))]
+    res, report = nuscenes_eval(dets, anns, ['car'])
+    assert abs(res['car_AP'] - 0.6069958847736626) < 1e-6
+    assert abs(res['mAP'] - 0.6069958847736626) < 1e-6
+    assert abs(res['mATE'] - 0.6566666666666666) < 1e-6
+    assert abs(res['mASE'] - 0.4291666666666666) < 1e-6
+    assert abs(res['mAOE'] - 0.19709807314797184) < 1e-6
+    assert abs(res['mAVE'] - 0.7125) < 1e-6
+    assert abs(res['NDS'] - 0.5599497797096675) < 1e-6
+    assert 'NDS' in report
