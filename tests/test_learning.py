@@ -171,3 +171,88 @@ def test_centerpoint_learns_to_detect():
     # task split [1, 2]: class 2 (Car) -> task 1, local id 1
     det = CenterPointDetector(model_cfg=model, head_cfg=head)
     _run_learning(det, make_batch, predict_label=2, min_matched=8)
+
+
+# ---------------------------------------------------------------------------
+# Train -> official-AP regression band (VERDICT r2 next #5): a numerics
+# regression that silently costs AP becomes a red test.
+# ---------------------------------------------------------------------------
+# Synthetic calib placing the tiny LiDAR scene in a KITTI-like camera:
+# cam x = -y_l, y = -z_l, z = x_l; f=400 keeps every box's projected height
+# above the 25 px moderate/hard gate out to x_l = 25 m.
+_AP_CALIB = dict(
+    R0_rect=np.eye(4),
+    Tr_velo_to_cam=np.array([[0., -1., 0., 0.],
+                             [0., 0., -1., 0.],
+                             [1., 0., 0., 0.],
+                             [0., 0., 0., 1.]]),
+    P2=np.array([[400., 0., 621., 0.],
+                 [0., 400., 187., 0.],
+                 [0., 0., 1., 0.]]),
+)
+
+
+@pytest.mark.slow
+def test_train_to_ap_regression_band():
+    """Fixed-seed train -> predict -> OFFICIAL KITTI evaluator; Car/Mod
+    R40 3D AP must land in the recorded band.  Composes run-training
+    machinery with core/evaluation/kitti_official.py end to end, which no
+    other test did (the learning tests assert loss drop + loose matching
+    only)."""
+    from mmdet3d_gaussian_tpu.datasets.kitti import KittiDataset
+    from mmdet3d_gaussian_tpu.core.evaluation.kitti_official import (
+        kitti_eval)
+
+    det = PointPillarsDetector(model_cfg=TINY, head_cfg=TINY_HEAD)
+    rng = np.random.RandomState(0)
+    fixed = [make_batch(rng) for _ in range(4)]
+    variables = jax.jit(det.init)(jax.random.PRNGKey(0), fixed[0])
+    opt = ts.make_optimizer(3e-3, total_steps=800,
+                            target_ratio=(3.0, 1e-2))
+    state = ts.init_state(variables['params'], variables['batch_stats'],
+                          opt)
+    step = jax.jit(ts.make_train_step(
+        lambda v, b, t: det.apply_train(v, b), det.loss, opt))
+    for i in range(800):
+        state, m = step(state, fixed[i % 4])
+    assert np.isfinite(float(m['loss']))
+
+    variables = {'params': state.params, 'batch_stats': state.batch_stats}
+    classes = ('Pedestrian', 'Cyclist', 'Car')
+    gt_annos, dt_annos = [], []
+    to_anno = KittiDataset.lidar_det_to_kitti_anno
+    for tb in fixed:
+        boxes, scores, labels, valid = jax.jit(det.predict)(variables, tb)
+        boxes, scores = np.asarray(boxes), np.asarray(scores)
+        labels, valid = np.asarray(labels), np.asarray(valid)
+        for i in range(boxes.shape[0]):
+            per_cls = []
+            for c in range(3):
+                sel = valid[i] & (labels[i] == c)
+                per_cls.append(np.concatenate(
+                    [boxes[i][sel][:, :7], scores[i][sel][:, None]],
+                    -1).astype(np.float32))
+            dt_annos.append(to_anno(per_cls, _AP_CALIB, classes=classes))
+            gt = np.asarray(tb['gt_bboxes'][i])
+            gv = np.asarray(tb['gt_valid'][i])
+            gl = np.asarray(tb['gt_labels'][i])
+            per_cls_gt = []
+            for c in range(3):
+                sel = gv & (gl == c)
+                per_cls_gt.append(np.concatenate(
+                    [gt[sel][:, :7], np.ones((sel.sum(), 1))],
+                    -1).astype(np.float32))
+            gt_annos.append(to_anno(per_cls_gt, _AP_CALIB,
+                                    classes=classes))
+    res, report = kitti_eval(gt_annos, dt_annos, list(classes),
+                             eval_types=('bev', '3d'))
+    ap = res['Car_3d_moderate_strict_AP40']
+    # Recorded band (fixed seed, 800-step overfit regime): measured 62.5.
+    # AP here is RECALL-quantized — the tiny model detects ~2/3 of the 48
+    # GTs, and each matched/missed GT moves AP by ~2 — so the band allows
+    # a few matches of benign numeric drift while a real detection-chain
+    # regression (yaw decode, NMS, coder, score ranking) lands far below.
+    # Band recorded in PARITY.md "Train->AP regression band".
+    assert 50.0 <= ap <= 75.0, (ap, report)
+    ap_bev = res['Car_bev_moderate_strict_AP40']
+    assert ap_bev >= ap - 1e-6, (ap_bev, ap)
