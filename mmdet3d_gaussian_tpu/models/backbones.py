@@ -30,9 +30,13 @@ class ConvBNReLU(nn.Module):
                     strides=(self.stride, self.stride),
                     padding=((pad, pad), (pad, pad)), use_bias=False,
                     dtype=self.dtype, name='conv')(x)
+        # dtype threads through BN so bf16 activations STAY bf16 between
+        # fusions (stats are still f32: flax force_float32_reductions).
+        # Without it every BN promoted the conv output back to f32, which
+        # is why round-2 bf16 showed ~0% end-to-end win (PARITY.md).
         x = nn.BatchNorm(use_running_average=not train, momentum=0.99,
                          epsilon=1e-3, axis_name=self.axis_name,
-                         name='bn')(x)
+                         dtype=self.dtype, name='bn')(x)
         return nn.relu(x)
 
 
@@ -99,6 +103,6 @@ class SECONDFPN(nn.Module):
                             dtype=self.dtype, name=f'deblock{i}_conv')(x)
             x = nn.BatchNorm(use_running_average=not train, momentum=0.99,
                              epsilon=1e-3, axis_name=self.axis_name,
-                             name=f'deblock{i}_bn')(x)
+                             dtype=self.dtype, name=f'deblock{i}_bn')(x)
             outs.append(nn.relu(x))
         return jnp.concatenate(outs, axis=-1)

@@ -43,6 +43,7 @@ class Anchor3DHeadConvs(nn.Module):
     feat_channels: int = 384
     use_direction_classifier: bool = True
     box_code_size: int = 7
+    dtype: Optional[str] = None    # bf16 keeps the big neck map bf16
 
     @nn.compact
     def __call__(self, x):
@@ -50,13 +51,13 @@ class Anchor3DHeadConvs(nn.Module):
         prior_bias = float(-np.log((1 - 0.01) / 0.01))
         cls_score = nn.Conv(self.num_anchors * self.num_classes, (1, 1),
                             bias_init=nn.initializers.constant(prior_bias),
-                            name='conv_cls')(x)
+                            dtype=self.dtype, name='conv_cls')(x)
         bbox_pred = nn.Conv(self.num_anchors * self.box_code_size, (1, 1),
-                            name='conv_reg')(x)
+                            dtype=self.dtype, name='conv_reg')(x)
         dir_pred = None
         if self.use_direction_classifier:
             dir_pred = nn.Conv(self.num_anchors * 2, (1, 1),
-                               name='conv_dir_cls')(x)
+                               dtype=self.dtype, name='conv_dir_cls')(x)
         return cls_score, bbox_pred, dir_pred
 
 

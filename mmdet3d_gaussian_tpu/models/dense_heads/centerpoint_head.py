@@ -56,6 +56,7 @@ class SeparateHead(nn.Module):
     head_conv: int = 64
     init_bias: float = -2.19            # heatmap bias (focal prior)
     use_ds_conv: bool = False
+    dtype: Optional[str] = None         # bf16 keeps activations bf16
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -67,16 +68,17 @@ class SeparateHead(nn.Module):
                         if self.use_ds_conv else
                         nn.Conv(self.head_conv, (3, 3),
                                 padding=((1, 1), (1, 1)), use_bias=False,
-                                name=f'{name}_conv{i}'))
+                                dtype=self.dtype, name=f'{name}_conv{i}'))
                 y = conv(y)
                 y = nn.BatchNorm(use_running_average=not train,
                                  momentum=0.99, epsilon=1e-3,
+                                 dtype=self.dtype,
                                  name=f'{name}_bn{i}')(y)
                 y = nn.relu(y)
             bias_init = (nn.initializers.constant(self.init_bias)
                          if name == 'heatmap' else nn.initializers.zeros)
             out[name] = nn.Conv(out_ch, (3, 3), padding=((1, 1), (1, 1)),
-                                bias_init=bias_init,
+                                bias_init=bias_init, dtype=self.dtype,
                                 name=f'{name}_out')(y)
         return out
 
@@ -89,14 +91,16 @@ class CenterHeadConvs(nn.Module):
     common_heads: Dict[str, Tuple[int, int]] = None
     head_conv: int = 64
     use_ds_conv: bool = False
+    dtype: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         y = nn.Conv(self.share_conv_channel, (3, 3),
                     padding=((1, 1), (1, 1)), use_bias=False,
-                    name='shared_conv')(x)
+                    dtype=self.dtype, name='shared_conv')(x)
         y = nn.BatchNorm(use_running_average=not train, momentum=0.99,
-                         epsilon=1e-3, name='shared_bn')(y)
+                         epsilon=1e-3, dtype=self.dtype,
+                         name='shared_bn')(y)
         y = nn.relu(y)
         outs = []
         for i, task in enumerate(self.tasks):
@@ -104,7 +108,8 @@ class CenterHeadConvs(nn.Module):
             heads['heatmap'] = (task['num_classes'], 2)
             outs.append(SeparateHead(
                 heads=heads, head_conv=self.head_conv,
-                use_ds_conv=self.use_ds_conv, name=f'task{i}')(y, train))
+                use_ds_conv=self.use_ds_conv, dtype=self.dtype,
+                name=f'task{i}')(y, train))
         return outs
 
 

@@ -139,7 +139,9 @@ class PointPillarsNet(nn.Module):
         feats = neck(backbone(canvas, train=train), train=train)
 
         if self.head_type == 'center':
-            head = CenterHeadConvs(name='bbox_head', **(self.head_cfg or {}))
+            head = CenterHeadConvs(name='bbox_head', dtype=dt,
+                                   **(self.head_cfg or {}))
             return head(feats, train=train)
-        head = Anchor3DHeadConvs(name='bbox_head', **(self.head_cfg or {}))
+        head = Anchor3DHeadConvs(name='bbox_head', dtype=dt,
+                                 **(self.head_cfg or {}))
         return head(feats)

@@ -75,6 +75,9 @@ class Scatter(NamedTuple):
     ids_sorted: bool = False     # static: point_voxel_ids ascending (points
                                  # permuted by sort_order) — unlocks XLA's
                                  # sorted segment lowering (see sorted_view)
+    sorted_starts: Optional[jax.Array] = None  # (max_voxels,) first sorted
+                                 # position per voxel (cummax-filled for
+                                 # empties, monotone nondecreasing)
 
     def sorted_view(self) -> 'Scatter':
         """Scatter over the voxel-sorted point permutation.
@@ -256,8 +259,11 @@ def build_scatter(coords, spatial_shape: Sequence[int],
     int32_max = jnp.iinfo(jnp.int32).max
     key = jnp.where(valid, key, int32_max)
 
-    order = jnp.argsort(key)
-    sorted_key = key[order]
+    # sort_kv instead of argsort-then-gather: one fused sort pass
+    # (measured 0.15 ms at N=360k on v5e — sorts are NOT the bottleneck;
+    # see tools/misc/bench_row_ops.py)
+    sorted_key, order = jax.lax.sort(
+        (key, jnp.arange(n, dtype=jnp.int32)), num_keys=1)
     # new-segment flags on the sorted keys
     first = jnp.concatenate([
         jnp.ones((1,), dtype=jnp.int32),
@@ -272,25 +278,40 @@ def build_scatter(coords, spatial_shape: Sequence[int],
     # invalid points and overflow voxels -> trash id max_voxels
     seg_sorted = jnp.where(
         (sorted_key == int32_max) | (seg_sorted >= max_voxels),
-        max_voxels, seg_sorted)
+        max_voxels, seg_sorted).astype(jnp.int32)
 
-    # unsort back to original point order
+    # unsort back to original point order (single-column scatters
+    # vectorize on TPU: 0.14 ns/row vs ~50 ns/row for multi-column rows)
     point_voxel_ids = jnp.zeros((n,), dtype=jnp.int32).at[order].set(
-        seg_sorted.astype(jnp.int32))
+        seg_sorted)
 
-    seg_sorted = seg_sorted.astype(jnp.int32)
-    ones = jnp.ones((n, 1), dtype=jnp.int32)
-    voxel_counts = _segment_sum_nd(ones, seg_sorted, max_voxels,
-                                   ids_sorted=True)[:, 0]
+    # Per-voxel start offsets / counts WITHOUT segment reductions OR
+    # binary searches (searchsorted lowers to ~log2(N) serialized gather
+    # passes on TPU — measured ~8 ms at V=64k).  Each segment's first/last
+    # sorted position lands in a (V+1,) table via single-column int32
+    # scatters, which vectorize (~0.14 ns/row, bench_row_ops.py).
+    pos = jnp.arange(n, dtype=jnp.int32)
+    last = jnp.concatenate([
+        (seg_sorted[1:] != seg_sorted[:-1]),
+        jnp.ones((1,), jnp.bool_)])
+    first_ids = jnp.where(first.astype(bool), seg_sorted, max_voxels)
+    last_ids = jnp.where(last, seg_sorted, max_voxels)
+    starts = jnp.zeros((max_voxels + 1,), jnp.int32).at[first_ids].set(
+        pos, unique_indices=False)[:max_voxels]
+    ends = jnp.zeros((max_voxels + 1,), jnp.int32).at[last_ids].set(
+        pos + 1, unique_indices=False)[:max_voxels]
+    voxel_counts = jnp.maximum(ends - starts, 0)
+    # empty voxels keep starts=0 which would break the monotone-gather
+    # trick downstream; cummax fills them with the previous live start
+    starts = jax.lax.cummax(starts)
 
-    # representative coords per voxel: min over member coords (identical),
-    # reduced over the sorted order (XLA's fast sorted-segment path)
-    big = jnp.iinfo(jnp.int32).max
-    masked_coords = jnp.where(valid[:, None], coords, big)[order]
-    voxel_coords = jax.ops.segment_min(
-        masked_coords, seg_sorted,
-        num_segments=max_voxels + 1, indices_are_sorted=True)[:max_voxels]
-    voxel_coords = jnp.where(voxel_counts[:, None] > 0, voxel_coords, -1)
+    # representative coords per voxel = coords of its FIRST sorted member
+    # (members share coords): two small gathers, no segment_min (row
+    # gathers are ~10x cheaper than the segment reduce at this scale)
+    live = voxel_counts > 0
+    rep = jnp.take(order, jnp.minimum(starts, n - 1))       # (V,) point idx
+    voxel_coords = jnp.where(live[:, None],
+                             jnp.take(coords, rep, axis=0), -1)
 
     return Scatter(point_voxel_ids=point_voxel_ids,
                    voxel_coords=voxel_coords,
@@ -298,7 +319,8 @@ def build_scatter(coords, spatial_shape: Sequence[int],
                    num_voxels=num_voxels.astype(jnp.int32),
                    max_voxels=max_voxels,
                    sort_order=order.astype(jnp.int32),
-                   num_overflow=num_overflow.astype(jnp.int32))
+                   num_overflow=num_overflow.astype(jnp.int32),
+                   sorted_starts=starts)
 
 
 def batch_coords(coords_3d, batch_idx):

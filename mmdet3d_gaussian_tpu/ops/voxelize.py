@@ -48,27 +48,33 @@ def hard_voxelize(points, coords, spatial_shape: Sequence[int],
                             key_order=key_order)
     n = points.shape[0]
 
-    # Rank of each point within its voxel, in ascending point-index order.
-    # build_scatter's key argsort already groups voxels with ascending point
-    # index inside each (argsort is stable) — reuse it, no second sort.
-    seg = scatter.point_voxel_ids
+    # Pack by GATHER, entirely in the sorted domain.  The round-2 form
+    # unsorted rank/seg back to point order and row-scattered (N, C) point
+    # rows into the (V, P, C) table, which serializes at ~50 ns/row on TPU
+    # (~18 ms at Waymo b2; tools/misc/bench_row_ops.py).  Row scatters are
+    # the most expensive primitive measured; row GATHERS with ascending
+    # indices are the cheapest — so the pack reads pts_sorted at
+    # starts[v] + p instead of writing points to (v, p).  Same result,
+    # deterministic first-max_points-by-ascending-index semantics.
     order = scatter.sort_order
-    seg_sorted = seg[order]
-    pos = jnp.arange(n, dtype=jnp.int32)
-    first = jnp.concatenate([
-        jnp.ones((1,), jnp.bool_), seg_sorted[1:] != seg_sorted[:-1]])
-    seg_start = jax.lax.cummax(jnp.where(first, pos, 0))
-    rank_sorted = pos - seg_start
-    rank = jnp.zeros((n,), jnp.int32).at[order].set(rank_sorted)
+    counts = scatter.voxel_counts                        # (V,)
+    num_points = jnp.minimum(counts, max_points)
+    starts = scatter.sorted_starts                       # (V,) monotone
 
-    keep = (seg < max_voxels) & (rank < max_points)
-    v = jnp.where(keep, seg, max_voxels)
-    p = jnp.where(keep, rank, 0)
-    voxels = jnp.zeros((max_voxels + 1, max_points, points.shape[1]),
-                       dtype=points.dtype)
-    voxels = voxels.at[v, p].set(points)[:max_voxels]
+    # voxels[v, p] = pts_sorted[starts[v] + p] for p < count_v: a GATHER
+    # with globally ASCENDING indices (clamp empty slots to the voxel's
+    # last member, mask after), which hits XLA's fast sorted-gather path.
+    pts_sorted = jnp.take(points, order, axis=0)         # (N, C) row gather
+    slot = jnp.arange(max_points, dtype=jnp.int32)[None, :]
+    last = jnp.maximum(num_points[:, None] - 1, 0)
+    src = starts[:, None].astype(jnp.int32) + jnp.minimum(slot, last)
+    src = jnp.minimum(src, n - 1)                        # empty-voxel guard
+    gathered = jnp.take(pts_sorted, src.reshape(-1), axis=0,
+                        indices_are_sorted=True).reshape(
+                            max_voxels, max_points, points.shape[1])
+    valid_slot = slot < num_points[:, None]
+    voxels = jnp.where(valid_slot[..., None], gathered, 0)
 
-    num_points = jnp.minimum(scatter.voxel_counts, max_points)
     return HardVoxels(voxels=voxels, coords=scatter.voxel_coords,
                       num_points=num_points, scatter=scatter)
 

@@ -114,5 +114,71 @@ def main():
         print(f'  {name:44s} {nsrow:7.2f}')
 
 
+
+
+def column_tricks():
+    """Column-wise forms of the expensive ops: a 1-col (N,) scatter measured
+    ~350x cheaper per element than an (N, 8) row scatter."""
+    n, c, v, p = 360000, 64, 64000, 20
+    rng = np.random.RandomState(0)
+    data8 = jnp.asarray(rng.randn(n, 8).astype(np.float32))
+    data64 = jnp.asarray(rng.randn(n, c).astype(np.float32))
+    order = jnp.asarray(rng.permutation(n).astype(np.int32))
+    keys = jnp.asarray(rng.randint(0, v, size=n).astype(np.int32))
+    seg_sorted = jnp.sort(keys)
+    # sorted-unique destinations into a (V*P+1) table (hard-voxelize form)
+    dest = jnp.sort(jnp.asarray(
+        rng.choice(v * p, size=n, replace=False).astype(np.int32)))
+
+    def rec(name, ms):
+        print(f'{name:46s} {ms:8.3f} ms   {ms*1e6/n:7.2f} ns/row',
+              flush=True)
+
+    rec('f32 1-col scatter N->N .at[order].set',
+        t(lambda d, i: jnp.zeros((n,), d.dtype).at[i].set(d),
+          data8[:, 0], order))
+    rec('f32 1-col scatter N->V*P+1 sorted unique',
+        t(lambda d, i: jnp.zeros((v * p + 1,), d.dtype)
+          .at[i].set(d, indices_are_sorted=True, unique_indices=True),
+          data8[:, 0], dest))
+
+    def col_scatter8(d, i):
+        cols = [jnp.zeros((v * p + 1,), d.dtype)
+                .at[i].set(d[:, j], indices_are_sorted=True,
+                           unique_indices=True) for j in range(8)]
+        return jnp.stack(cols, -1)
+    rec('8x 1-col scatter N->V*P+1 (stacked)', t(col_scatter8, data8, dest))
+
+    def col_gather8(d, i):
+        return jnp.stack([jnp.take(d[:, j], i, axis=0) for j in range(8)],
+                         -1)
+    rec('8x 1-col gather perm (vs 1.6 ms row form)',
+        t(col_gather8, data8, order))
+
+    def col_segsum8(d, s):
+        return jnp.stack([jax.ops.segment_sum(
+            d[:, j], s, num_segments=v + 1, indices_are_sorted=True)
+            for j in range(8)], -1)
+    rec('8x 1-col segment_sum -> V+1', t(col_segsum8, data8, seg_sorted))
+
+    def col_segsum64(d, s):
+        return jnp.stack([jax.ops.segment_sum(
+            d[:, j], s, num_segments=v + 1, indices_are_sorted=True)
+            for j in range(c)], -1)
+    rec('64x 1-col segment_sum -> V+1 (vs 3.7 row)',
+        t(col_segsum64, data64, seg_sorted))
+
+    def col_gather_table(dtab, i):
+        return jnp.stack([jnp.take(dtab[:, j], i, axis=0)
+                          for j in range(8)], -1)
+    tab8 = jnp.asarray(rng.randn(v + 1, 8).astype(np.float32))
+    rec('8x 1-col table gather (mapback form)',
+        t(col_gather_table, tab8, keys))
+
+
 if __name__ == '__main__':
-    main()
+    import os
+    if os.environ.get('ROWOPS_COLUMNS') == '1':
+        column_tricks()
+    else:
+        main()
