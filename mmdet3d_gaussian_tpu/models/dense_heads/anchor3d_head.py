@@ -183,22 +183,30 @@ class GDAnchor3DHead:
         b, hh, ww = cls_score.shape[:3]
         s, r = anchors.shape[2], anchors.shape[3]
         a = s * r
-        c = self.num_classes
+        wa = ww * a          # fold anchors into the W axis: planes below
+        c = self.num_classes # are (B, H, W*A) — minor dim in the thousands,
+        #                      so nothing lane-pads (a plane whose minor dim
+        #                      is A=6 physically pads to 128 lanes, ~20x HBM;
+        #                      the Waymo loss trace showed 26 of 32 ms spent
+        #                      on exactly those relayouts/paddings)
 
         # anchors are numpy constants (built at detector construction);
         # the component split happens at trace time, free.
-        anc = np.asarray(anchors).reshape(hh, ww, a, 7)
+        anc = np.asarray(anchors).reshape(hh, wa, 7)
         anc_parts = tuple(jnp.asarray(anc[..., i]) for i in range(7))
 
         cls_score = cls_score.reshape(b, hh, ww, a, c).astype(jnp.float32)
         pred5 = bbox_pred.reshape(b, hh, ww, a, 7).astype(jnp.float32)
-        pred_parts = tuple(pred5[..., i] for i in range(7))
+        pred_parts = tuple(pred5[..., i].reshape(b, hh, wa)
+                           for i in range(7))
 
         labels = targets_batched.labels.reshape(b, hh, ww, a)
         label_weights = targets_batched.label_weights.reshape(b, hh, ww, a)
-        tgt7 = targets_batched.bbox_targets.reshape(b, hh, ww, a, 7)
-        tgt_parts = tuple(tgt7[..., i] for i in range(7))
-        bbox_weights = targets_batched.bbox_weights.reshape(b, hh, ww, a)
+        # bbox_targets (B, A_tot, 7): component slices reshaped to
+        # (B, H, W*A) are bitcasts of the flat target layout
+        tgt7 = targets_batched.bbox_targets
+        tgt_parts = tuple(tgt7[..., i].reshape(b, hh, wa) for i in range(7))
+        bbox_weights = targets_batched.bbox_weights.reshape(b, hh, wa)
         dir_targets = targets_batched.dir_targets.reshape(b, hh, ww, a)
 
         num_pos = jnp.sum(targets_batched.num_pos).astype(jnp.float32)
@@ -236,9 +244,11 @@ class GDAnchor3DHead:
         losses['loss_bbox'] = loss_bbox
 
         if self.loss_dir is not None and dir_pred is not None:
+            dir_targets = dir_targets.reshape(b, hh, ww, a)
             dirp = dir_pred.reshape(b, hh, ww, a, 2).astype(jnp.float32)
             losses['loss_dir'] = self.loss_dir(
-                dirp, dir_targets, bbox_weights, avg_factor=avg)
+                dirp, dir_targets, bbox_weights.reshape(b, hh, ww, a),
+                avg_factor=avg)
         return losses
 
     # ------------------------------------------------------------------
