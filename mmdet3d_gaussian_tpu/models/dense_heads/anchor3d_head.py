@@ -219,11 +219,30 @@ class GDAnchor3DHead:
         # regression on decoded boxes (GDLoss) — weight rows by positivity
         loss_bbox = 0.0
         if self.loss_decoded_bbox is not None and self.decode_weight:
-            dec_p = self.coder.decode_parts(anc_parts, pred_parts)
-            dec_t = self.coder.decode_parts(anc_parts, tgt_parts)
-            w = bbox_weights * self.decode_weight
-            loss_bbox = loss_bbox + self.loss_decoded_bbox(
-                dec_p, dec_t, weight=w, avg_factor=avg)
+            gd = self.loss_decoded_bbox
+            from ...ops.pallas import gd_loss_kernel as gdk
+            if gdk.enabled(hh * ww, a, gd):
+                # fused Pallas kernel: decode + GD distance + weighting in
+                # one VMEM pass per block, reading bbox_pred in the conv
+                # channel layout and writing d(bbox_pred) the same way —
+                # no component de-interleave/re-interleave in XLA at all
+                m = b * hh * ww
+                pred2 = bbox_pred.reshape(m, a * 7)
+                tgt2 = targets_batched.bbox_targets.reshape(m, a * 7)
+                w_a = (targets_batched.bbox_weights
+                       * self.decode_weight).reshape(m, a)
+                anc2 = jnp.asarray(anc.reshape(hh * ww, a * 7))
+                cfg = (gd.loss_type, gd.center_offset, gd.fun,
+                       float(gd.tau), float(gd.alpha))
+                raw = gdk.anchor_gd_loss_pallas(pred2, tgt2, w_a, anc2,
+                                                hh * ww, cfg)
+                loss_bbox = loss_bbox + gd.loss_weight * raw / avg
+            else:
+                dec_p = self.coder.decode_parts(anc_parts, pred_parts)
+                dec_t = self.coder.decode_parts(anc_parts, tgt_parts)
+                w = bbox_weights * self.decode_weight
+                loss_bbox = loss_bbox + self.loss_decoded_bbox(
+                    dec_p, dec_t, weight=w, avg_factor=avg)
 
         # sin-difference SmoothL1 on encoded deltas, per component plane
         if ((self.code_weight is not None and any(self.code_weight))
