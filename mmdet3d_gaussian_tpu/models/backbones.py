@@ -13,6 +13,7 @@ from typing import Optional, Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
+from ..ops.pallas.bn_kernel import FastBatchNorm
 from ..registry import MODELS
 
 
@@ -31,12 +32,12 @@ class ConvBNReLU(nn.Module):
                     padding=((pad, pad), (pad, pad)), use_bias=False,
                     dtype=self.dtype, name='conv')(x)
         # dtype threads through BN so bf16 activations STAY bf16 between
-        # fusions (stats are still f32: flax force_float32_reductions).
-        # Without it every BN promoted the conv output back to f32, which
-        # is why round-2 bf16 showed ~0% end-to-end win (PARITY.md).
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.99,
-                         epsilon=1e-3, axis_name=self.axis_name,
-                         dtype=self.dtype, name='bn')(x)
+        # fusions (stats are still f32).  FastBatchNorm computes the
+        # moments with the one-pass Pallas kernel (ops/pallas/bn_kernel):
+        # XLA's standalone stat reductions ran ~10x off the HBM roofline.
+        x = FastBatchNorm(use_running_average=not train, momentum=0.99,
+                          epsilon=1e-3, axis_name=self.axis_name,
+                          dtype=self.dtype, name='bn')(x)
         return nn.relu(x)
 
 
@@ -101,8 +102,8 @@ class SECONDFPN(nn.Module):
                 k = max(1, int(round(1 / s)))
                 x = nn.Conv(ch, (k, k), strides=(k, k), use_bias=False,
                             dtype=self.dtype, name=f'deblock{i}_conv')(x)
-            x = nn.BatchNorm(use_running_average=not train, momentum=0.99,
-                             epsilon=1e-3, axis_name=self.axis_name,
-                             dtype=self.dtype, name=f'deblock{i}_bn')(x)
+            x = FastBatchNorm(use_running_average=not train, momentum=0.99,
+                              epsilon=1e-3, axis_name=self.axis_name,
+                              dtype=self.dtype, name=f'deblock{i}_bn')(x)
             outs.append(nn.relu(x))
         return jnp.concatenate(outs, axis=-1)

@@ -31,6 +31,7 @@ from ...core.bbox.coders import (CenterPointBBoxCoder,
                                  CenterPointBBoxYawCoder)
 from ...ops.heatmap import gaussian_radius, splat_heatmap
 from ...ops.nms import circle_nms, nms_bev
+from ...ops.pallas.bn_kernel import FastBatchNorm
 from ...registry import LOSSES, MODELS
 
 
@@ -70,10 +71,10 @@ class SeparateHead(nn.Module):
                                 padding=((1, 1), (1, 1)), use_bias=False,
                                 dtype=self.dtype, name=f'{name}_conv{i}'))
                 y = conv(y)
-                y = nn.BatchNorm(use_running_average=not train,
-                                 momentum=0.99, epsilon=1e-3,
-                                 dtype=self.dtype,
-                                 name=f'{name}_bn{i}')(y)
+                y = FastBatchNorm(use_running_average=not train,
+                                  momentum=0.99, epsilon=1e-3,
+                                  dtype=self.dtype,
+                                  name=f'{name}_bn{i}')(y)
                 y = nn.relu(y)
             bias_init = (nn.initializers.constant(self.init_bias)
                          if name == 'heatmap' else nn.initializers.zeros)
@@ -98,9 +99,9 @@ class CenterHeadConvs(nn.Module):
         y = nn.Conv(self.share_conv_channel, (3, 3),
                     padding=((1, 1), (1, 1)), use_bias=False,
                     dtype=self.dtype, name='shared_conv')(x)
-        y = nn.BatchNorm(use_running_average=not train, momentum=0.99,
-                         epsilon=1e-3, dtype=self.dtype,
-                         name='shared_bn')(y)
+        y = FastBatchNorm(use_running_average=not train, momentum=0.99,
+                          epsilon=1e-3, dtype=self.dtype,
+                          name='shared_bn')(y)
         y = nn.relu(y)
         outs = []
         for i, task in enumerate(self.tasks):

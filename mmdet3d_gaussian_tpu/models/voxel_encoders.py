@@ -226,10 +226,48 @@ class PointVoxelStatsCalculator(nn.Module):
         return c
 
     def __call__(self, points_xyz, scatter: Scatter):
-        # Voxel-level stats are gathered back to points in ONE mapback: the
-        # per-point gather is the serialized op on TPU, so mean / voxel
-        # center / count ride the same pass (channel split afterwards).
         need_center = self.with_voxel_center or self.with_voxel_center_offset
+        if scatter._kernel_path():
+            # Fused Pallas path: per-point mean + count in ONE two-pass
+            # kernel (ones channel rides along as the count); the voxel
+            # center needs no segment op at all — a point's own voxel
+            # center is a pointwise function of its own coords (identical
+            # to the stored voxel_coords formula by construction:
+            # compute_voxel_coords and build_scatter share the floor
+            # convention).  Invalid rows are masked to 0, matching the
+            # mapback's zero-row semantics.
+            valid = scatter.valid_point_mask[:, None]
+            fused = scatter.reduce_mapback(points_xyz, 'mean')  # (N, 3)
+            mean = fused
+            ctr = None
+            if need_center:
+                vsz = jnp.asarray(self.voxel_size, points_xyz.dtype)
+                org = jnp.asarray(self.point_cloud_range[:3],
+                                  points_xyz.dtype)
+                cell = jnp.floor((points_xyz - org) / vsz)
+                ctr = jnp.where(valid, (cell + 0.5) * vsz + org, 0.0)
+            if self.with_voxel_point_count:
+                cnt_pt = scatter.mapback(
+                    scatter.voxel_counts[:, None].astype(points_xyz.dtype))
+            off = points_xyz - mean
+            feats = [points_xyz]
+            if self.with_cluster_center:
+                feats.append(mean)
+            if self.with_cluster_center_offset:
+                feats.append(off)
+            if self.with_covariance:
+                outer = (off[:, None, :] * off[:, :, None]).reshape(-1, 9)
+                feats.append(scatter.reduce_mapback(outer, 'mean'))
+            if self.with_voxel_center:
+                feats.append(ctr)
+            if self.with_voxel_center_offset:
+                feats.append(points_xyz - ctr)
+            if self.with_voxel_point_count:
+                feats.append(cnt_pt)
+            return jnp.concatenate(feats, axis=-1)
+        # XLA path: voxel-level stats are gathered back to points in ONE
+        # mapback: the per-point gather is the serialized op on TPU, so
+        # mean / voxel center / count ride the same pass.
         vox = [scatter.reduce(points_xyz, 'mean')]              # (V, 3)
         if need_center:
             o = 1 if scatter.voxel_coords.shape[-1] == 4 else 0

@@ -100,8 +100,32 @@ class Scatter(NamedTuple):
                              ids_sorted=True)
 
     # -- reductions -------------------------------------------------------
+    def _kernel_path(self) -> bool:
+        """True when the fused Pallas segment kernel applies: rows sorted
+        by voxel id and the per-voxel start table available."""
+        from .pallas import segment_kernel as sk
+        return (self.ids_sorted and self.sorted_starts is not None
+                and sk.enabled())
+
+    def _last_pos(self):
+        """Monotone per-voxel LAST sorted row (cummax-filled empties) —
+        the gather index that extracts each segment's total from the
+        fused per-row result with a sorted gather."""
+        ends = self.sorted_starts + self.voxel_counts
+        return jnp.maximum(jax.lax.cummax(ends) - 1, 0)
+
     def reduce(self, point_feats, op: str = 'max'):
         """Per-voxel reduction of point features -> (max_voxels, C)."""
+        if self._kernel_path():
+            from .pallas import segment_kernel as sk
+            kop = 'sum' if op in ('sum', 'mean') else 'max'
+            out = sk.sorted_reduce(point_feats, self.point_voxel_ids,
+                                   self._last_pos(), self.voxel_counts > 0,
+                                   self.max_voxels, kop)
+            if op == 'mean':
+                cnt = jnp.maximum(self.voxel_counts, 1).astype(out.dtype)
+                out = out / cnt[:, None]
+            return out.astype(point_feats.dtype)
         if op == 'sum':
             return _segment_sum_nd(point_feats, self.point_voxel_ids,
                                    self.max_voxels, self.ids_sorted)
@@ -124,6 +148,23 @@ class Scatter(NamedTuple):
                         indices_are_sorted=self.ids_sorted)
 
     def reduce_mapback(self, point_feats, op: str = 'mean'):
+        """Per-point full-segment reduction (fused when the Pallas path
+        applies — no (V, C) intermediate, no mapback gather)."""
+        if self._kernel_path():
+            from .pallas import segment_kernel as sk
+            valid = self.valid_point_mask
+            if op == 'mean':
+                ones = jnp.ones(point_feats.shape[:1] + (1,),
+                                point_feats.dtype)
+                fused = sk.sorted_reduce_mapback(
+                    jnp.concatenate([point_feats, ones], axis=-1),
+                    self.point_voxel_ids, valid, 'sum')
+                out = fused[:, :-1] / jnp.maximum(fused[:, -1:], 1.0)
+            else:
+                kop = 'sum' if op == 'sum' else 'max'
+                out = sk.sorted_reduce_mapback(
+                    point_feats, self.point_voxel_ids, valid, kop)
+            return out.astype(point_feats.dtype)
         return self.mapback(self.reduce(point_feats, op))
 
     @property
