@@ -68,6 +68,10 @@ class AnchorTargets(NamedTuple):
     bbox_weights: jax.Array   # (A,)
     dir_targets: jax.Array    # (A,) int32
     num_pos: jax.Array        # () int32
+    matched_gt: Optional[jax.Array] = None  # (A, 7) raw matched GT boxes —
+    # decode(anchors, encode(anchors, gt)) == gt up to f32 rounding, so the
+    # decoded-box GD loss can use these directly and skip the target decode
+    # (~1.5 ms/step of exp fusions + plane relayouts at KITTI b4)
 
 
 class GDAnchor3DHead:
@@ -163,7 +167,9 @@ class GDAnchor3DHead:
                              bbox_targets=bbox_targets,
                              bbox_weights=bbox_weights,
                              dir_targets=dir_targets.astype(jnp.int32),
-                             num_pos=jnp.sum(pos).astype(jnp.int32))
+                             num_pos=jnp.sum(pos).astype(jnp.int32),
+                             matched_gt=jnp.where(pos[:, None],
+                                                  matched_gt, 0.0))
 
     # ------------------------------------------------------------------
     def loss(self, cls_score, bbox_pred, dir_pred, anchors, targets_batched):
@@ -239,7 +245,15 @@ class GDAnchor3DHead:
                 loss_bbox = loss_bbox + gd.loss_weight * raw / avg
             else:
                 dec_p = self.coder.decode_parts(anc_parts, pred_parts)
-                dec_t = self.coder.decode_parts(anc_parts, tgt_parts)
+                if targets_batched.matched_gt is not None:
+                    # decode(anchors, encode(anchors, gt)) == gt up to f32
+                    # rounding: use the raw matched GT planes and skip the
+                    # whole target decode (exp fusions + plane relayouts)
+                    mg = targets_batched.matched_gt
+                    dec_t = tuple(mg[..., i].reshape(b, hh, wa)
+                                  for i in range(7))
+                else:
+                    dec_t = self.coder.decode_parts(anc_parts, tgt_parts)
                 w = bbox_weights * self.decode_weight
                 loss_bbox = loss_bbox + self.loss_decoded_bbox(
                     dec_p, dec_t, weight=w, avg_factor=avg)
