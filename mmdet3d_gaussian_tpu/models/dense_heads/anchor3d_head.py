@@ -36,8 +36,26 @@ from ...registry import LOSSES, MODELS
 
 
 @MODELS.register_module()
+class _Conv1x1Params(nn.Module):
+    """Parameter-only twin of a 1x1 ``nn.Conv`` (same names/shapes/init:
+    kernel (1, 1, cin, out) lecun-normal, bias (out,)) — lets the head
+    keep per-conv checkpoint structure while computing one fused conv."""
+    cin: int
+    features: int
+    bias_init: Any = nn.initializers.zeros
+
+    @nn.compact
+    def __call__(self):
+        k = self.param('kernel', nn.initializers.lecun_normal(),
+                       (1, 1, self.cin, self.features), jnp.float32)
+        b = self.param('bias', self.bias_init, (self.features,),
+                       jnp.float32)
+        return k, b
+
+
 class Anchor3DHeadConvs(nn.Module):
-    """1x1 conv heads over the neck output (NHWC)."""
+    """1x1 conv heads over the neck output (NHWC), computed as ONE fused
+    72-channel conv (see ``__call__``) with unchanged parameter tree."""
     num_classes: int
     num_anchors: int            # sizes * rotations per cell
     feat_channels: int = 384
@@ -49,15 +67,39 @@ class Anchor3DHeadConvs(nn.Module):
     def __call__(self, x):
         # focal-loss prior bias init (pi = 0.01), mmdet bias_init_with_prob
         prior_bias = float(-np.log((1 - 0.01) / 0.01))
-        cls_score = nn.Conv(self.num_anchors * self.num_classes, (1, 1),
-                            bias_init=nn.initializers.constant(prior_bias),
-                            dtype=self.dtype, name='conv_cls')(x)
-        bbox_pred = nn.Conv(self.num_anchors * self.box_code_size, (1, 1),
-                            dtype=self.dtype, name='conv_reg')(x)
-        dir_pred = None
+        nc = self.num_anchors * self.num_classes
+        nb = self.num_anchors * self.box_code_size
+        nd = self.num_anchors * 2
+        cin = x.shape[-1]
+        # Parameters stay three separate 1x1 convs (same tree as nn.Conv:
+        # conv_cls/{kernel,bias} etc., checkpoint / reference-transplant
+        # compatible) but the COMPUTE is one fused conv: three convs with
+        # 18/42/12 output channels each fill <1/3 of the 128-wide MXU
+        # (their bwd-data alone traced 2.7 ms/step at KITTI b4); the
+        # concatenated 72-channel conv is one well-filled matmul and the
+        # channel split afterwards is a free lane slice.
+        w_cls, b_cls = _Conv1x1Params(
+            cin, nc, bias_init=nn.initializers.constant(prior_bias),
+            name='conv_cls')()
+        w_reg, b_reg = _Conv1x1Params(cin, nb, name='conv_reg')()
+        parts_w, parts_b = [w_cls, w_reg], [b_cls, b_reg]
         if self.use_direction_classifier:
-            dir_pred = nn.Conv(self.num_anchors * 2, (1, 1),
-                               dtype=self.dtype, name='conv_dir_cls')(x)
+            w_dir, b_dir = _Conv1x1Params(cin, nd, name='conv_dir_cls')()
+            parts_w.append(w_dir)
+            parts_b.append(b_dir)
+        w = jnp.concatenate(parts_w, axis=-1)
+        b = jnp.concatenate(parts_b)
+        if self.dtype in ('bfloat16', jnp.bfloat16):
+            x = x.astype(jnp.bfloat16)
+            w = w.astype(jnp.bfloat16)
+        out = jax.lax.conv_general_dilated(
+            x, w.astype(x.dtype), window_strides=(1, 1), padding='VALID',
+            dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+        out = out + b.astype(out.dtype)
+        cls_score = out[..., :nc]
+        bbox_pred = out[..., nc:nc + nb]
+        dir_pred = (out[..., nc + nb:] if self.use_direction_classifier
+                    else None)
         return cls_score, bbox_pred, dir_pred
 
 
