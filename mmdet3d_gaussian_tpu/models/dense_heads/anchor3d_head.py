@@ -35,7 +35,6 @@ from ...ops.nms import nms_bev, nms_normal_bev
 from ...registry import LOSSES, MODELS
 
 
-@MODELS.register_module()
 class _Conv1x1Params(nn.Module):
     """Parameter-only twin of a 1x1 ``nn.Conv`` (same names/shapes/init:
     kernel (1, 1, cin, out) lecun-normal, bias (out,)) — lets the head
@@ -53,6 +52,7 @@ class _Conv1x1Params(nn.Module):
         return k, b
 
 
+@MODELS.register_module()
 class Anchor3DHeadConvs(nn.Module):
     """1x1 conv heads over the neck output (NHWC), computed as ONE fused
     72-channel conv (see ``__call__``) with unchanged parameter tree."""
@@ -269,7 +269,7 @@ class GDAnchor3DHead:
         if self.loss_decoded_bbox is not None and self.decode_weight:
             gd = self.loss_decoded_bbox
             from ...ops.pallas import gd_loss_kernel as gdk
-            if gdk.enabled(hh * ww, a, gd):
+            if gdk.enabled(hh * ww, a, gd, m=b * hh * ww):
                 # fused Pallas kernel: decode + GD distance + weighting in
                 # one VMEM pass per block, reading bbox_pred in the conv
                 # channel layout and writing d(bbox_pred) the same way —

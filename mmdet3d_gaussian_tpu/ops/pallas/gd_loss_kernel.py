@@ -72,12 +72,18 @@ INTERPRET = False
 IMPL = os.environ.get('MMDET3D_TPU_GD_KERNEL', 'xla')
 
 
-def enabled(hw: int, a: int, gd) -> bool:
-    """Should the head's decoded-box branch use this kernel?"""
+def enabled(hw: int, a: int, gd, m: int = None) -> bool:
+    """Should the head's decoded-box branch use this kernel?
+
+    ``m`` (= B*H*W, the packed row count) must be passed when known: the
+    packing factor chosen by :func:`_prep` additionally requires
+    ``(m // p) % 8 == 0``, so a shape accepted on ``hw`` alone could still
+    reach ``_tile_rows() == 0`` inside ``_prep``.
+    """
     if IMPL != 'pallas':
         return False
     return (hasattr(gd, 'loss_type') and not gd.kwargs
-            and gd.reduction == 'mean' and supported(hw, a))
+            and gd.reduction == 'mean' and supported(hw, a, m))
 
 
 def _w_bcast(na: int) -> np.ndarray:
@@ -168,11 +174,16 @@ def _tile_rows(hw: int, lo: int = 64, hi: int = 512) -> int:
     return best
 
 
-def supported(hw: int, a: int) -> bool:
+def supported(hw: int, a: int, m: int = None) -> bool:
+    """Mirror _prep's packing choice exactly (incl. the (m//p)%8 clause
+    when m is known) so an accepted shape can never hit _tile_rows()==0
+    inside _prep."""
     k7 = a * 7
     p = _pack(k7)
-    while p > 1 and hw % p:
+    while p > 1 and (hw % p or (m is not None and (m // p) % 8)):
         p -= 1
+    if m is not None and (m // p) % 8:
+        return False
     return k7 <= 512 and _tile_rows(hw // p) > 0
 
 

@@ -67,8 +67,16 @@ def hard_voxelize(points, coords, spatial_shape: Sequence[int],
     pts_sorted = jnp.take(points, order, axis=0)         # (N, C) row gather
     slot = jnp.arange(max_points, dtype=jnp.int32)[None, :]
     last = jnp.maximum(num_points[:, None] - 1, 0)
-    src = starts[:, None].astype(jnp.int32) + jnp.minimum(slot, last)
-    src = jnp.minimum(src, n - 1)                        # empty-voxel guard
+    # Empty voxels: ``starts`` is cummax-filled with the previous live
+    # START, which steps BACKWARDS from that voxel's last gathered row and
+    # would violate the indices_are_sorted promise below.  Route empties to
+    # the monotone previous live LAST row instead (cummax of ends - 1), so
+    # the flattened src is genuinely non-decreasing.
+    ends_mono = jnp.maximum(
+        jax.lax.cummax(starts + counts).astype(jnp.int32) - 1, 0)
+    base = jnp.where(num_points > 0, starts.astype(jnp.int32), ends_mono)
+    src = base[:, None] + jnp.minimum(slot, last)
+    src = jnp.minimum(src, n - 1)                        # tail guard
     gathered = jnp.take(pts_sorted, src.reshape(-1), axis=0,
                         indices_are_sorted=True).reshape(
                             max_voxels, max_points, points.shape[1])

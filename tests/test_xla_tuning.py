@@ -34,11 +34,16 @@ def test_enable_idempotent(monkeypatch):
     assert os.environ['XLA_FLAGS'] == once
 
 
-def test_enable_respects_user_pass_list(monkeypatch):
+def test_enable_merges_into_user_pass_list(monkeypatch):
     user = '--xla_disable_hlo_passes=foo'
     _with_env(monkeypatch, XLA_FLAGS=user)
     xla_tuning.enable()
-    assert os.environ['XLA_FLAGS'] == user
+    # User passes preserved, ours appended (dedup'd), nothing dropped.
+    assert (os.environ['XLA_FLAGS']
+            == '--xla_disable_hlo_passes=foo,space-to-batch-converter')
+    once = os.environ['XLA_FLAGS']
+    xla_tuning.enable()
+    assert os.environ['XLA_FLAGS'] == once
 
 
 def test_opt_out(monkeypatch):
