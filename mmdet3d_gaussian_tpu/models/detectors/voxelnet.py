@@ -127,10 +127,16 @@ class PointPillarsNet(nn.Module):
                                    train=train)
             coords_v = scatter.voxel_coords
 
+        # Cast BEFORE the splat: every live canvas cell receives exactly one
+        # voxel row (build_scatter dedups), so bf16-casting pillar rows first
+        # is bit-identical to casting the canvas after — but the splat then
+        # writes/reads half the bytes on the largest tensor in the program
+        # (f32[B*ny*nx+1, C] = 219 MB at KITTI b4), and the backward canvas
+        # gradient + its conv-layout relayout copy halve too.
+        if dt is not None:
+            pillar_feats = pillar_feats.astype(dt)
         canvas = bev_scatter(pillar_feats, coords_v, b, nx, ny,
                              indices_sorted=True)
-        if dt is not None:
-            canvas = canvas.astype(dt)
 
         backbone = SECOND(axis_name=self.axis_name, dtype=dt,
                           name='backbone', **(self.backbone_cfg or {}))

@@ -31,6 +31,8 @@ from typing import NamedTuple, Optional, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
+from .scan import cummax_i32, cumsum_i32
+
 
 def compute_voxel_coords(points_xyz, point_cloud_range, voxel_size):
     """Point xyz -> integer voxel coords ``(N, 3)`` as (ix, iy, iz); -1 rows
@@ -112,7 +114,7 @@ class Scatter(NamedTuple):
         the gather index that extracts each segment's total from the
         fused per-row result with a sorted gather."""
         ends = self.sorted_starts + self.voxel_counts
-        return jnp.maximum(jax.lax.cummax(ends) - 1, 0)
+        return jnp.maximum(cummax_i32(ends) - 1, 0)
 
     def reduce(self, point_feats, op: str = 'max'):
         """Per-voxel reduction of point features -> (max_voxels, C)."""
@@ -310,7 +312,7 @@ def build_scatter(coords, spatial_shape: Sequence[int],
         jnp.ones((1,), dtype=jnp.int32),
         (sorted_key[1:] != sorted_key[:-1]).astype(jnp.int32)])
     first = jnp.where(sorted_key == int32_max, 0, first)
-    seg_sorted = jnp.cumsum(first) - 1  # compact id in sorted order
+    seg_sorted = cumsum_i32(first) - 1  # compact id in sorted order
     # live voxels actually materialized (overflow beyond capacity is
     # rerouted to the trash row and NOT counted)
     num_live = jnp.maximum(seg_sorted[-1] + 1, 0)
@@ -321,30 +323,45 @@ def build_scatter(coords, spatial_shape: Sequence[int],
         (sorted_key == int32_max) | (seg_sorted >= max_voxels),
         max_voxels, seg_sorted).astype(jnp.int32)
 
-    # unsort back to original point order (single-column scatters
-    # vectorize on TPU: 0.14 ns/row vs ~50 ns/row for multi-column rows)
-    point_voxel_ids = jnp.zeros((n,), dtype=jnp.int32).at[order].set(
-        seg_sorted)
+    # unsort back to original point order: inverse permutation via ONE
+    # more pair-sort (order is a permutation, so sorting (order, value)
+    # by key leaves value[i] = seg_sorted at point i's sorted slot).
+    # A sort is ~0.04 ms at N=65k on v5e; the old `.at[order].set(...)`
+    # scatter measured ~0.47 ms because its lowering serializes.
+    _, point_voxel_ids = jax.lax.sort(
+        (order, seg_sorted), num_keys=1)
 
-    # Per-voxel start offsets / counts WITHOUT segment reductions OR
-    # binary searches (searchsorted lowers to ~log2(N) serialized gather
-    # passes on TPU — measured ~8 ms at V=64k).  Each segment's first/last
-    # sorted position lands in a (V+1,) table via single-column int32
-    # scatters, which vectorize (~0.14 ns/row, bench_row_ops.py).
+    # Per-voxel start offsets / counts WITHOUT segment reductions, binary
+    # searches (searchsorted = log2(N) serialized gather passes, ~8 ms at
+    # V=64k) or scatters (the old one-column `.at[ids].set(pos)` tables
+    # carried ~63k duplicate trash-row writes, which de-specialize XLA's
+    # scatter to ~0.3 ms each).  Sorting (id-or-trash, pos) pairs puts the
+    # k-th live voxel's entry exactly at slot k (live ids are 0..L-1,
+    # unique, ascending; trash keys sort last), so the dense table is a
+    # SLICE of the sort output.
     pos = jnp.arange(n, dtype=jnp.int32)
     last = jnp.concatenate([
         (seg_sorted[1:] != seg_sorted[:-1]),
         jnp.ones((1,), jnp.bool_)])
     first_ids = jnp.where(first.astype(bool), seg_sorted, max_voxels)
     last_ids = jnp.where(last, seg_sorted, max_voxels)
-    starts = jnp.zeros((max_voxels + 1,), jnp.int32).at[first_ids].set(
-        pos, unique_indices=False)[:max_voxels]
-    ends = jnp.zeros((max_voxels + 1,), jnp.int32).at[last_ids].set(
-        pos + 1, unique_indices=False)[:max_voxels]
+    if n < max_voxels:          # sorted table must cover max_voxels slots
+        tpad = (0, max_voxels - n)
+        first_ids = jnp.pad(first_ids, tpad, constant_values=max_voxels)
+        last_ids = jnp.pad(last_ids, tpad, constant_values=max_voxels)
+        pos_k = jnp.pad(pos, tpad)
+    else:
+        pos_k = pos
+    skey, sval = jax.lax.sort((first_ids, pos_k), num_keys=1)
+    starts = jnp.where(skey[:max_voxels] < max_voxels,
+                       sval[:max_voxels], 0)
+    ekey, eval_ = jax.lax.sort((last_ids, pos_k + 1), num_keys=1)
+    ends = jnp.where(ekey[:max_voxels] < max_voxels,
+                     eval_[:max_voxels], 0)
     voxel_counts = jnp.maximum(ends - starts, 0)
     # empty voxels keep starts=0 which would break the monotone-gather
     # trick downstream; cummax fills them with the previous live start
-    starts = jax.lax.cummax(starts)
+    starts = cummax_i32(starts)
 
     # representative coords per voxel = coords of its FIRST sorted member
     # (members share coords): two small gathers, no segment_min (row

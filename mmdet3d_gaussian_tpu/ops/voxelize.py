@@ -21,6 +21,7 @@ from typing import NamedTuple, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
+from .scan import cummax_i32
 from .scatter import Scatter, build_scatter, compute_voxel_coords
 
 
@@ -73,7 +74,7 @@ def hard_voxelize(points, coords, spatial_shape: Sequence[int],
     # the monotone previous live LAST row instead (cummax of ends - 1), so
     # the flattened src is genuinely non-decreasing.
     ends_mono = jnp.maximum(
-        jax.lax.cummax(starts + counts).astype(jnp.int32) - 1, 0)
+        cummax_i32(starts + counts) - 1, 0)
     base = jnp.where(num_points > 0, starts.astype(jnp.int32), ends_mono)
     src = base[:, None] + jnp.minimum(slot, last)
     src = jnp.minimum(src, n - 1)                        # tail guard
