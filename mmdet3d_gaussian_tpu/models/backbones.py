@@ -17,6 +17,70 @@ from ..ops.pallas.bn_kernel import FastBatchNorm
 from ..registry import MODELS
 
 
+def fold_s2d_kernel(w):
+    """Fold a (3, 3, Cin, Cout) stride-2 kernel for a space-to-depth input.
+
+    A 3x3/stride-2/pad-1 conv on (H, W, Cin) equals a 2x2/stride-1 conv
+    with padding ((1,0),(1,0)) on the s2d input (H/2, W/2, 4*Cin): output
+    pixel h reads input rows {2h-1, 2h, 2h+1} = s2d blocks {h-1 (parity
+    1), h (parity 0), h (parity 1)} — tap dy maps to (block, parity) =
+    (0,1) if dy==0 else (1, dy-1), same along W.  Channel layout matches
+    ``ops/voxelize.py::bev_scatter_s2d``: parity index (py*2+px), blocks
+    of Cin.  Differentiable in ``w`` (pure placement), so training learns
+    the ORIGINAL kernel parameter."""
+    kh, kw, cin, cout = w.shape
+    assert kh == 3 and kw == 3, (kh, kw)
+    folded = jnp.zeros((2, 2, 4 * cin, cout), w.dtype)
+    for dy in range(3):
+        bh, py = ((0, 1) if dy == 0 else (1, dy - 1))
+        for dx in range(3):
+            bw, px = ((0, 1) if dx == 0 else (1, dx - 1))
+            off = (py * 2 + px) * cin
+            folded = folded.at[bh, bw, off:off + cin, :].set(w[dy, dx])
+    return folded
+
+
+class _S2DDownConv(nn.Module):
+    """Stride-2 ConvBNReLU consuming an s2d canvas (B, H/2, W/2, 4*Cin).
+
+    Parameter tree identical to ``ConvBNReLU`` (conv/kernel of shape
+    (3, 3, Cin, Cout), bn/...), so checkpoints transfer 1:1 with the
+    plain-canvas model."""
+    in_channels: int
+    out_channels: int
+    axis_name: Optional[str] = None
+    dtype: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        import jax
+        w = _ConvKernelParam(self.in_channels, self.out_channels,
+                             name='conv')()
+        folded = fold_s2d_kernel(w)
+        if self.dtype is not None:
+            folded = folded.astype(self.dtype)
+            x = x.astype(self.dtype)
+        x = jax.lax.conv_general_dilated(
+            x, folded, window_strides=(1, 1), padding=((1, 0), (1, 0)),
+            dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+        x = FastBatchNorm(use_running_average=not train, momentum=0.99,
+                          epsilon=1e-3, axis_name=self.axis_name,
+                          dtype=self.dtype, name='bn')(x)
+        return nn.relu(x)
+
+
+class _ConvKernelParam(nn.Module):
+    """Parameter-only twin of ``nn.Conv(...)``'s kernel (same name/shape/
+    init) so _S2DDownConv keeps ConvBNReLU's checkpoint structure."""
+    cin: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        return self.param('kernel', nn.initializers.lecun_normal(),
+                          (3, 3, self.cin, self.features), jnp.float32)
+
+
 class ConvBNReLU(nn.Module):
     out_channels: int
     kernel: int = 3
@@ -54,12 +118,27 @@ class SECOND(nn.Module):
     layer_strides: Sequence[int] = (2, 2, 2)
     axis_name: Optional[str] = None
     dtype: Optional[str] = None
+    # input is a space-to-depth canvas (B, H/2, W/2, 4*in_channels) from
+    # ops/voxelize.bev_scatter_s2d; stage 0 must then be stride 2 and is
+    # computed as the exactly-equivalent folded 2x2 conv (fold_s2d_kernel)
+    input_s2d: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         outs = []
         for i, (ch, num, stride) in enumerate(zip(
                 self.out_channels, self.layer_nums, self.layer_strides)):
+            if i == 0 and self.input_s2d:
+                assert stride == 2, 'input_s2d requires a stride-2 stage 0'
+                x = _S2DDownConv(self.in_channels, ch,
+                                 axis_name=self.axis_name, dtype=self.dtype,
+                                 name='stage0_down')(x, train)
+                for j in range(num):
+                    x = ConvBNReLU(ch, axis_name=self.axis_name,
+                                   dtype=self.dtype,
+                                   name=f'stage0_block{j}')(x, train)
+                outs.append(x)
+                continue
             if x.shape[1] % stride or x.shape[2] % stride:
                 raise ValueError(
                     f'SECOND stage {i}: spatial dims {x.shape[1:3]} not '

@@ -23,7 +23,8 @@ import jax
 import jax.numpy as jnp
 
 from ...ops.scatter import batch_coords, build_scatter, compute_voxel_coords
-from ...ops.voxelize import CANVAS_KEY_ORDER, bev_scatter, hard_voxelize
+from ...ops.voxelize import (CANVAS_KEY_ORDER, bev_scatter, bev_scatter_s2d,
+                             hard_voxelize)
 from ...registry import MODELS
 from ..backbones import SECOND, SECONDFPN
 from ..dense_heads.anchor3d_head import Anchor3DHeadConvs
@@ -48,6 +49,13 @@ class PointPillarsNet(nn.Module):
     compute_dtype: Optional[str] = None   # 'bfloat16' = mixed precision
                                           # (the reference's fp16 analogue;
                                           # BN/loss stay f32)
+    # Space-to-depth canvas: splat pillars into (B, ny/2, nx/2, 4C) and run
+    # the stride-2 first conv as the exactly-equivalent folded 2x2 conv
+    # (see ops/voxelize.bev_scatter_s2d / backbones.fold_s2d_kernel).  The
+    # plain (…, 64) canvas pads 64->128 lanes, costing 2x its bytes on the
+    # largest tensor in the program.  'auto' = on when the dynamic path,
+    # stride-2 first stage, even canvas dims and nz==1 line up.
+    s2d_canvas: str = 'auto'              # 'auto' | 'on' | 'off'
 
     def _grid(self) -> Tuple[int, int]:
         pcr, vs = self.point_cloud_range, self.voxel_size
@@ -114,9 +122,29 @@ class PointPillarsNet(nn.Module):
             pillar_feats = encoder(hv.voxels, hv.coords, hv.num_points,
                                    train=train)
             coords_v = hv.coords
+            use_s2d = False
         else:
+            first_stride = tuple((self.backbone_cfg or {}).get(
+                'layer_strides', (2, 2, 2)))[0]
+            use_s2d = (self.s2d_canvas == 'on'
+                       or (self.s2d_canvas == 'auto' and first_stride == 2
+                           and nx % 2 == 0 and ny % 2 == 0 and nz == 1))
+            if use_s2d:
+                # compact voxels in s2d CELL raster order (parity minor):
+                # the splat's segment ids are then non-decreasing and the
+                # (b, cy, cx, parity) key is still bijective with pillars
+                iy, ix = coords4[:, 2], coords4[:, 1]
+                inval = jnp.any(coords4 < 0, axis=-1)
+                s2d_cols = jnp.stack(
+                    [coords4[:, 0], iy // 2, ix // 2,
+                     (iy & 1) * 2 + (ix & 1)], axis=1)
+                coords4 = jnp.where(inval[:, None], -1, s2d_cols)
+                spatial = (b, ny // 2, nx // 2, 4)
+                key_order = None
+            else:
+                key_order = CANVAS_KEY_ORDER
             scatter = build_scatter(coords4, spatial, max_voxels,
-                                    key_order=CANVAS_KEY_ORDER)
+                                    key_order=key_order)
             # permute points into voxel-sorted order once: every segment
             # reduce / mapback in the encoder then runs on XLA's sorted
             # lowering (Scatter.sorted_view); voxel-level outputs identical
@@ -135,10 +163,15 @@ class PointPillarsNet(nn.Module):
         # gradient + its conv-layout relayout copy halve too.
         if dt is not None:
             pillar_feats = pillar_feats.astype(dt)
-        canvas = bev_scatter(pillar_feats, coords_v, b, nx, ny,
-                             indices_sorted=True)
+        if use_s2d:
+            canvas = bev_scatter_s2d(pillar_feats, coords_v, b,
+                                     nx // 2, ny // 2, indices_sorted=True)
+        else:
+            canvas = bev_scatter(pillar_feats, coords_v, b, nx, ny,
+                                 indices_sorted=True)
 
         backbone = SECOND(axis_name=self.axis_name, dtype=dt,
+                          input_s2d=use_s2d,
                           name='backbone', **(self.backbone_cfg or {}))
         neck = SECONDFPN(axis_name=self.axis_name, dtype=dt, name='neck',
                          **(self.neck_cfg or {}))

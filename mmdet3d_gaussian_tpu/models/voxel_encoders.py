@@ -267,14 +267,20 @@ class PointVoxelStatsCalculator(nn.Module):
             return jnp.concatenate(feats, axis=-1)
         # XLA path: voxel-level stats are gathered back to points in ONE
         # mapback: the per-point gather is the serialized op on TPU, so
-        # mean / voxel center / count ride the same pass.
+        # mean / count ride the same pass.  The voxel center is a
+        # POINTWISE function of each point's own coords (identical to the
+        # voxel_coords formula by construction — compute_voxel_coords and
+        # build_scatter share the floor convention; also keeps this path
+        # correct when the scatter key is not the raw cell, e.g. the
+        # space-to-depth canvas key in detectors/voxelnet.py).
         vox = [scatter.reduce(points_xyz, 'mean')]              # (V, 3)
+        ctr = None
         if need_center:
-            o = 1 if scatter.voxel_coords.shape[-1] == 4 else 0
-            vc = scatter.voxel_coords[:, o:o + 3].astype(points_xyz.dtype)
             vsz = jnp.asarray(self.voxel_size, points_xyz.dtype)
             org = jnp.asarray(self.point_cloud_range[:3], points_xyz.dtype)
-            vox.append((vc + 0.5) * vsz + org)                  # (V, 3)
+            cell = jnp.floor((points_xyz - org) / vsz)
+            ctr = jnp.where(scatter.valid_point_mask[:, None],
+                            (cell + 0.5) * vsz + org, 0.0)
         if self.with_voxel_point_count:
             vox.append(scatter.voxel_counts[:, None]
                        .astype(points_xyz.dtype))               # (V, 1)
@@ -292,16 +298,13 @@ class PointVoxelStatsCalculator(nn.Module):
             # mapped-back mean first (reference utils.py:59-64 semantics)
             outer = (off[:, None, :] * off[:, :, None]).reshape(-1, 9)
             feats.append(scatter.reduce_mapback(outer, 'mean'))
-        col = 3
         if need_center:
-            ctr = per_pt[:, col:col + 3]
-            col += 3
             if self.with_voxel_center:
                 feats.append(ctr)
             if self.with_voxel_center_offset:
                 feats.append(points_xyz - ctr)
         if self.with_voxel_point_count:
-            feats.append(per_pt[:, col:col + 1])
+            feats.append(per_pt[:, 3:4])
         return jnp.concatenate(feats, axis=-1)
 
 

@@ -196,6 +196,43 @@ def bev_scatter(voxel_feats, coords, batch_size: int, nx: int, ny: int,
     return canvas.reshape(batch_size, ny, nx, voxel_feats.shape[-1])
 
 
+def bev_scatter_s2d(voxel_feats, coords_s2d, batch_size: int,
+                    nx2: int, ny2: int, indices_sorted: bool = True):
+    """Space-to-depth BEV splat: pillars -> ``(B, ny2, nx2, 4*C)`` canvas.
+
+    Each 2x2 block of BEV pillars lands in ONE canvas cell, the four
+    parities stacked on channels (parity index ``(iy&1)*2 + (ix&1)``).
+    With C=64 pillar features the s2d canvas carries 256 channels — full
+    128-lane tiles — whereas the plain (B, ny, nx, 64) canvas pads 64->128
+    lanes and therefore costs 2x its logical bytes in HBM on every splat,
+    slice, conv read and backward pass (the canvas is the largest tensor
+    in the PointPillars program).  The stride-2 first backbone conv
+    consumes this layout exactly via the folded 2x2 kernel
+    (``models/backbones.py::fold_s2d_kernel``), so the composite is
+    numerically the SAME function as splat + 3x3/s2 conv.
+
+    Args:
+        voxel_feats: (V, C) pillar features.
+        coords_s2d: (V, 4) int32 rows ``(b, cy, cx, parity)`` (-1 invalid),
+            compacted in cell raster order (build_scatter on the s2d key),
+            so the splat's segment ids are non-decreasing with up to four
+            rows (parities) per cell — parities occupy disjoint channel
+            blocks, so the segment-sum is a pure placement.
+    """
+    vb, vcy, vcx = coords_s2d[:, 0], coords_s2d[:, 1], coords_s2d[:, 2]
+    vpar = coords_s2d[:, 3]
+    valid = ((vb >= 0) & (vb < batch_size) & (vcx >= 0) & (vcx < nx2)
+             & (vcy >= 0) & (vcy < ny2))
+    ncell = batch_size * ny2 * nx2
+    lin = jnp.where(valid, (vb * ny2 + vcy) * nx2 + vcx, ncell)
+    c = voxel_feats.shape[-1]
+    feats4 = jnp.concatenate(
+        [jnp.where((vpar == k)[:, None], voxel_feats, 0) for k in range(4)],
+        axis=1)
+    canvas = _splat(feats4, lin, ncell, indices_sorted)
+    return canvas.reshape(batch_size, ny2, nx2, 4 * c)
+
+
 def bev_gather(canvas, coords):
     """Inverse of :func:`bev_scatter`: sample canvas rows at voxel coords."""
     bsz, ny, nx, c = canvas.shape
