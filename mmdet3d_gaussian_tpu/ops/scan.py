@@ -54,3 +54,47 @@ def cummax_i32(x) -> jax.Array:
     """Inclusive cummax of a 1-D int32 array (== ``jax.lax.cummax``)."""
     return _blocked_scan(x.astype(jnp.int32), jnp.maximum,
                          jnp.iinfo(jnp.int32).min)
+
+
+def compact_indices(mask, k: int):
+    """Positions of the first ``k`` True entries of a 1-D mask, ascending.
+
+    Sort-free: an XLA TPU sort at (321408,) costs ~0.5 ms/sample (bitonic,
+    log^2 n passes) and a stable or paired sort 2-4x that.  This runs in
+    ~0.1 ms: chunk the mask into 128-lane rows, in-row inclusive cumsum
+    (7 shifted passes), blocked cumsum over the per-row counts, then for
+    each output slot j binary-search its chunk, row-gather that chunk's
+    prefix row and pick the lane where the prefix first hits the local
+    rank.  Exact first-k-ascending semantics.
+
+    Returns ``(idx, valid)``: idx (k,) int32 (clamped to n-1 where
+    invalid), valid (k,) bool.
+    """
+    n = mask.shape[0]
+    ch = _LANES
+    g = -(-n // ch)
+    m = jnp.pad(mask.astype(jnp.int32), (0, g * ch - n))
+    m2 = m.reshape(g, ch)
+    inrow = m2
+    s = 1
+    while s < ch:
+        inrow = inrow + jnp.pad(inrow, ((0, 0), (s, 0)))[:, :ch]
+        s *= 2
+    cnt = inrow[:, -1]                       # (g,) positives per chunk
+    ccum = _blocked_scan(cnt, jnp.add, 0)    # inclusive
+    j = jnp.arange(k, dtype=jnp.int32)
+    # searchsorted(ccum, j, 'right') — but jnp.searchsorted lowers to a
+    # serialized while loop under vmap (~1 ms at (4, 1024) x (4, 2511));
+    # the monotone ccum makes it a compare-count: one fused (k, g) reduce.
+    c = jnp.sum((ccum[None, :] <= j[:, None]).astype(jnp.int32),
+                axis=1).astype(jnp.int32)
+    valid = j < ccum[-1]
+    c = jnp.clip(c, 0, g - 1)
+    rows = jnp.take(inrow, c, axis=0)        # (k, ch) row gather
+    start = jnp.take(ccum, c) - jnp.take(cnt, c)
+    r = j - start                            # local rank within the chunk
+    lane = jnp.argmax((rows == (r + 1)[:, None]).astype(jnp.int32),
+                      axis=1).astype(jnp.int32)
+    idx = c * ch + lane
+    idx = jnp.where(valid, jnp.minimum(idx, n - 1), n - 1)
+    return idx, valid
