@@ -84,6 +84,43 @@ def _peak_flops(device) -> float:
     return 197e12   # default to v5e
 
 
+def _fold_overhead_flops(det, batch_size: int, train: bool = True) -> float:
+    """Structural-zero FLOPs added by the s2d / W-fold conv layouts.
+
+    fold_s2d_kernel / fold_w2_kernel compute the SAME function as the
+    plain convs but with block-sparse folded kernels whose zero blocks
+    XLA's cost analysis still counts; subtracting the exact overhead keeps
+    mfu / vs_baseline on USEFUL flops (derivation in
+    models/backbones.py docstrings; fwd deltas x3 for fwd+bwd).
+    """
+    mc = det.model_cfg
+    if mc.get('voxelize_mode', 'hard') != 'hard':
+        strides = tuple((mc.get('backbone_cfg') or {}).get(
+            'layer_strides', (2, 2, 2)))
+        pcr, vs = mc['point_cloud_range'], mc['voxel_size']
+        nx = int(round((pcr[3] - pcr[0]) / vs[0]))
+        ny = int(round((pcr[4] - pcr[1]) / vs[1]))
+        nz = max(1, int(round((pcr[5] - pcr[2]) / vs[2])))
+        s2d = (mc.get('s2d_canvas', 'auto') != 'off' and strides[0] == 2
+               and nx % 2 == 0 and ny % 2 == 0 and nz == 1)
+        if s2d:
+            bc = mc.get('backbone_cfg') or {}
+            cin = bc.get('in_channels', 64)
+            c0 = tuple(bc.get('out_channels', (64, 128, 256)))[0]
+            n0 = tuple(bc.get('layer_nums', (3, 5, 5)))[0]
+            ho, wo = ny // 2, nx // 2
+            hw = ho * wo * batch_size
+            w2 = mc.get('fold_w2', True) and nx % 4 == 0
+            if w2:
+                # stage0_down 24 vs 9 taps*ch; each block 18 vs 9
+                fwd = 2.0 * hw * (15 * cin * c0 + n0 * 9 * c0 * c0)
+            else:
+                # stage0_down 2x2x4Cin = 16 vs 9
+                fwd = 2.0 * hw * 7 * cin * c0
+            return fwd * (3.0 if train else 1.0)
+    return 0.0
+
+
 def _cost_flops(jitted, *args) -> float:
     try:
         cost = jitted.lower(*args).compile().cost_analysis()
@@ -158,6 +195,8 @@ def main():
         dt = _probe_time(det.predict, variables, batch)
         points_per_s = batch_size * num_points / dt
         flops = _cost_flops(predict, variables, batch)
+        flops = max(0.0, flops - _fold_overhead_flops(
+            det, batch_size, train=False))
         print(json.dumps({
             'metric': 'points/s/chip (inference: voxelize+trunk+decode+NMS)',
             'value': round(points_per_s, 1),
@@ -236,6 +275,7 @@ def main():
     _log(f'step {t_step*1e3:.3f} ms')
 
     flops = _cost_flops(step, state, batch)
+    flops = max(0.0, flops - _fold_overhead_flops(det, batch_size))
     points_per_s = batch_size * num_points / t_step
     flops_per_point = flops / (batch_size * num_points) if flops else None
     a100_pts = (A100_TF32_PEAK * A100_ASSUMED_MFU / flops_per_point

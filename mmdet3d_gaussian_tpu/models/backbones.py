@@ -40,6 +40,86 @@ def fold_s2d_kernel(w):
     return folded
 
 
+def fold_s2d_to_w2_kernel(w):
+    """(3,3,Cin,Cout) stride-2 kernel -> s2d input, W-FOLDED output.
+
+    Input: s2d canvas (B, H/2, W/2, 4*Cin); output: W-folded stage-1
+    layout (B, H/2, W/4, 2*Cout) where channel q*Cout+co is logical
+    channel co at output W-parity q.  Equivalent conv: kernel
+    (2, 3, 4*Cin, 2*Cout), strides (1, 2), padding ((1,0),(1,0))."""
+    kh, kw, cin, cout = w.shape
+    assert kh == 3 and kw == 3
+    folded = jnp.zeros((2, 3, 4 * cin, 2 * cout), w.dtype)
+    for dy in range(3):
+        bh, py = ((0, 1) if dy == 0 else (1, dy - 1))
+        for q in range(2):
+            for dx in range(3):
+                t = 2 * q + dx - 1
+                bw = t // 2 + 1          # block offset vs 2*W1-1 (pad 1)
+                px = t % 2
+                cin_off = (py * 2 + px) * cin
+                folded = folded.at[
+                    bh, bw, cin_off:cin_off + cin,
+                    q * cout:(q + 1) * cout].set(w[dy, dx])
+    return folded
+
+
+def fold_w2_kernel(w):
+    """(3,3,C,C) stride-1 kernel -> W-folded input AND output.
+
+    On (B, H, W/2, 2C) tensors (channel px*C+c = logical c at W-parity
+    px): kernel (3, 3, 2C, 2C), strides (1,1), padding ((1,1),(1,1)).
+    Same function as the plain 3x3 conv on (B, H, W, C); 2x nominal
+    flops (half the blocks structurally zero) at FULL 128-lane tiles,
+    and every activation touches half the physical HBM (a 64-channel
+    minor dim pads 64 -> 128 lanes)."""
+    kh, kw, cin, cout = w.shape
+    assert kh == 3 and kw == 3
+    folded = jnp.zeros((3, 3, 2 * cin, 2 * cout), w.dtype)
+    for dy in range(3):
+        for q in range(2):
+            for dx in range(3):
+                t = q + dx - 1
+                bw = (t + 2) // 2        # t=-1 -> 0; t=0,1 -> 1; t=2 -> 2
+                px = t % 2
+                folded = folded.at[
+                    dy, bw, px * cin:(px + 1) * cin,
+                    q * cout:(q + 1) * cout].set(w[dy, dx])
+    return folded
+
+
+def unfold_w2(x):
+    """(B, H, W/2, 2C) W-folded -> (B, H, W, C): channel q*C+c is pixel
+    (h, 2*w1+q, c), so the unfold is one reshape pair."""
+    b, h, w1, c2 = x.shape
+    c = c2 // 2
+    return x.reshape(b, h, w1, 2, c).reshape(b, h, w1 * 2, c)
+
+
+class _W2ConvBNReLU(nn.Module):
+    """Stride-1 ConvBNReLU on the W-folded layout; parameter tree
+    identical to ``ConvBNReLU`` (conv/kernel (3,3,C,C), bn (C,))."""
+    channels: int
+    axis_name: Optional[str] = None
+    dtype: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        import jax
+        w = _ConvKernelParam(self.channels, self.channels, name='conv')()
+        folded = fold_w2_kernel(w)
+        if self.dtype is not None:
+            folded = folded.astype(self.dtype)
+            x = x.astype(self.dtype)
+        x = jax.lax.conv_general_dilated(
+            x, folded, window_strides=(1, 1), padding=((1, 1), (1, 1)),
+            dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+        x = FastBatchNorm(use_running_average=not train, momentum=0.99,
+                          epsilon=1e-3, axis_name=self.axis_name,
+                          dtype=self.dtype, channel_fold=2, name='bn')(x)
+        return nn.relu(x)
+
+
 class _S2DDownConv(nn.Module):
     """Stride-2 ConvBNReLU consuming an s2d canvas (B, H/2, W/2, 4*Cin).
 
@@ -50,22 +130,30 @@ class _S2DDownConv(nn.Module):
     out_channels: int
     axis_name: Optional[str] = None
     dtype: Optional[str] = None
+    fold_w2: bool = False     # emit the W-folded (B, H/2, W/4, 2C) layout
 
     @nn.compact
     def __call__(self, x, train: bool):
         import jax
         w = _ConvKernelParam(self.in_channels, self.out_channels,
                              name='conv')()
-        folded = fold_s2d_kernel(w)
+        if self.fold_w2:
+            folded = fold_s2d_to_w2_kernel(w)
+            strides, pad = (1, 2), ((1, 0), (1, 0))
+        else:
+            folded = fold_s2d_kernel(w)
+            strides, pad = (1, 1), ((1, 0), (1, 0))
         if self.dtype is not None:
             folded = folded.astype(self.dtype)
             x = x.astype(self.dtype)
         x = jax.lax.conv_general_dilated(
-            x, folded, window_strides=(1, 1), padding=((1, 0), (1, 0)),
+            x, folded, window_strides=strides, padding=pad,
             dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
         x = FastBatchNorm(use_running_average=not train, momentum=0.99,
                           epsilon=1e-3, axis_name=self.axis_name,
-                          dtype=self.dtype, name='bn')(x)
+                          dtype=self.dtype,
+                          channel_fold=2 if self.fold_w2 else 1,
+                          name='bn')(x)
         return nn.relu(x)
 
 
@@ -122,6 +210,10 @@ class SECOND(nn.Module):
     # ops/voxelize.bev_scatter_s2d; stage 0 must then be stride 2 and is
     # computed as the exactly-equivalent folded 2x2 conv (fold_s2d_kernel)
     input_s2d: bool = False
+    # run the whole stage 0 in the W-folded (B, H/2, W/4, 2C) layout
+    # (fold_w2_kernel): same function, full 128-lane tiles on every
+    # stage-0 activation; unfolded once at the stage boundary
+    fold_w2: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -132,11 +224,19 @@ class SECOND(nn.Module):
                 assert stride == 2, 'input_s2d requires a stride-2 stage 0'
                 x = _S2DDownConv(self.in_channels, ch,
                                  axis_name=self.axis_name, dtype=self.dtype,
+                                 fold_w2=self.fold_w2,
                                  name='stage0_down')(x, train)
                 for j in range(num):
-                    x = ConvBNReLU(ch, axis_name=self.axis_name,
-                                   dtype=self.dtype,
-                                   name=f'stage0_block{j}')(x, train)
+                    if self.fold_w2:
+                        x = _W2ConvBNReLU(ch, axis_name=self.axis_name,
+                                          dtype=self.dtype,
+                                          name=f'stage0_block{j}')(x, train)
+                    else:
+                        x = ConvBNReLU(ch, axis_name=self.axis_name,
+                                       dtype=self.dtype,
+                                       name=f'stage0_block{j}')(x, train)
+                if self.fold_w2:
+                    x = unfold_w2(x)
                 outs.append(x)
                 continue
             if x.shape[1] % stride or x.shape[2] % stride:

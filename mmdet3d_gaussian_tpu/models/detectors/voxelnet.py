@@ -56,6 +56,9 @@ class PointPillarsNet(nn.Module):
     # largest tensor in the program.  'auto' = on when the dynamic path,
     # stride-2 first stage, even canvas dims and nz==1 line up.
     s2d_canvas: str = 'auto'              # 'auto' | 'on' | 'off'
+    # with s2d: run stage 0 of the backbone in the W-folded layout too
+    # (backbones.fold_w2_kernel) — same function, half the stage-0 HBM
+    fold_w2: bool = True
 
     def _grid(self) -> Tuple[int, int]:
         pcr, vs = self.point_cloud_range, self.voxel_size
@@ -172,6 +175,7 @@ class PointPillarsNet(nn.Module):
 
         backbone = SECOND(axis_name=self.axis_name, dtype=dt,
                           input_s2d=use_s2d,
+                          fold_w2=use_s2d and self.fold_w2 and nx % 4 == 0,
                           name='backbone', **(self.backbone_cfg or {}))
         neck = SECONDFPN(axis_name=self.axis_name, dtype=dt, name='neck',
                          **(self.neck_cfg or {}))

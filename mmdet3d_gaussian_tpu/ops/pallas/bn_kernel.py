@@ -197,12 +197,22 @@ class FastBatchNorm(nn.Module):
     epsilon: float = 1e-3
     dtype: Optional[str] = None
     axis_name: Optional[str] = None
+    # channel_fold=F: the input's channel axis carries F copies of the
+    # SAME logical channels (e.g. the W-folded stage-1 layout in
+    # models/backbones.py, where channel q*C+c is logical channel c at
+    # W-parity q).  Parameters/running stats keep shape (C,) and batch
+    # statistics merge the F groups — numerically identical to unfolded
+    # BN over the same elements.
+    channel_fold: int = 1
 
     @nn.compact
     def __call__(self, x, use_running_average: Optional[bool] = None):
         use_ra = nn.merge_param('use_running_average',
                                 self.use_running_average,
                                 use_running_average)
+        fold = self.channel_fold
+        if fold > 1:
+            return self._folded(x, use_ra, fold)
         c = x.shape[-1]
         ra_mean = self.variable('batch_stats', 'mean',
                                 lambda: jnp.zeros((c,), jnp.float32))
@@ -246,3 +256,39 @@ class FastBatchNorm(nn.Module):
             ra_var.value = (self.momentum * ra_var.value
                             + (1 - self.momentum) * var)
         return y2.reshape(shp)
+
+    def _folded(self, x, use_ra, fold: int):
+        """channel_fold > 1: stats merged across the F channel groups;
+        normalization applied on the folded tensor (no relayout)."""
+        c = x.shape[-1] // fold
+        assert x.shape[-1] == c * fold, (x.shape, fold)
+        ra_mean = self.variable('batch_stats', 'mean',
+                                lambda: jnp.zeros((c,), jnp.float32))
+        ra_var = self.variable('batch_stats', 'var',
+                               lambda: jnp.ones((c,), jnp.float32))
+        scale = self.param('scale', nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param('bias', nn.initializers.zeros, (c,), jnp.float32)
+        xf = x.astype(jnp.float32)
+        if use_ra:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            x2 = xf.reshape(-1, c * fold)
+            su = jnp.sum(x2, axis=0).reshape(fold, c).sum(0)
+            sq = (jnp.sum(x2 * x2, axis=0).reshape(fold, c).sum(0))
+            cnt = jnp.asarray(x2.shape[0] * fold, jnp.float32)
+            if self.axis_name is not None:
+                su = jax.lax.psum(su, self.axis_name)
+                sq = jax.lax.psum(sq, self.axis_name)
+                cnt = jax.lax.psum(cnt, self.axis_name)
+            mean = su / cnt
+            var = jnp.maximum(sq / cnt - mean * mean, 0.0)
+        inv = jax.lax.rsqrt(var + self.epsilon) * scale
+        invf = jnp.tile(inv, fold)
+        y = ((xf - jnp.tile(mean, fold)) * invf
+             + jnp.tile(bias, fold)).astype(x.dtype)
+        if not use_ra and not self.is_initializing():
+            ra_mean.value = (self.momentum * ra_mean.value
+                             + (1 - self.momentum) * mean)
+            ra_var.value = (self.momentum * ra_var.value
+                            + (1 - self.momentum) * var)
+        return y

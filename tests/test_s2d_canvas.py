@@ -47,6 +47,46 @@ def test_fold_s2d_kernel_matches_strided_conv():
                                rtol=1e-5, atol=1e-5)
 
 
+def test_fold_w2_kernel_matches_plain_conv():
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(2, 10, 16, 6).astype(np.float32))
+    w = jnp.asarray(rng.randn(3, 3, 6, 6).astype(np.float32))
+    from mmdet3d_gaussian_tpu.models.backbones import (fold_w2_kernel,
+                                                       unfold_w2)
+    ref = jax.lax.conv_general_dilated(
+        x, w, window_strides=(1, 1), padding=((1, 1), (1, 1)),
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+    # W-fold the input: channel q*C+c = pixel (h, 2*w1+q, c)
+    b, h, wd, c = x.shape
+    xw = x.reshape(b, h, wd // 2, 2, c).reshape(b, h, wd // 2, 2 * c)
+    got = jax.lax.conv_general_dilated(
+        xw, fold_w2_kernel(w), window_strides=(1, 1),
+        padding=((1, 1), (1, 1)),
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+    np.testing.assert_allclose(np.asarray(unfold_w2(got)), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_fold_s2d_to_w2_kernel_matches_strided_conv():
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.randn(2, 16, 24, 5).astype(np.float32))
+    w = jnp.asarray(rng.randn(3, 3, 5, 7).astype(np.float32))
+    from mmdet3d_gaussian_tpu.models.backbones import (
+        fold_s2d_to_w2_kernel, unfold_w2)
+    ref = jax.lax.conv_general_dilated(
+        x, w, window_strides=(2, 2), padding=((1, 1), (1, 1)),
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+    b, h, wd, c = x.shape
+    xs = x.reshape(b, h // 2, 2, wd // 2, 2, c).transpose(0, 1, 3, 2, 4, 5)
+    xs = xs.reshape(b, h // 2, wd // 2, 4 * c)
+    got = jax.lax.conv_general_dilated(
+        xs, fold_s2d_to_w2_kernel(w), window_strides=(1, 2),
+        padding=((1, 0), (1, 0)),
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+    np.testing.assert_allclose(np.asarray(unfold_w2(got)), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
 @pytest.mark.parametrize('mode', ['train', 'eval'])
 def test_s2d_model_matches_plain(mode):
     batch = synthetic_batch(batch_size=2, num_points=1024, num_gt=8,
