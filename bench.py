@@ -94,31 +94,33 @@ def _fold_overhead_flops(det, batch_size: int, train: bool = True) -> float:
     models/backbones.py docstrings; fwd deltas x3 for fwd+bwd).
     """
     mc = det.model_cfg
-    if mc.get('voxelize_mode', 'hard') != 'hard':
-        strides = tuple((mc.get('backbone_cfg') or {}).get(
-            'layer_strides', (2, 2, 2)))
-        pcr, vs = mc['point_cloud_range'], mc['voxel_size']
-        nx = int(round((pcr[3] - pcr[0]) / vs[0]))
-        ny = int(round((pcr[4] - pcr[1]) / vs[1]))
-        nz = max(1, int(round((pcr[5] - pcr[2]) / vs[2])))
-        s2d = (mc.get('s2d_canvas', 'auto') != 'off' and strides[0] == 2
-               and nx % 2 == 0 and ny % 2 == 0 and nz == 1)
-        if s2d:
-            bc = mc.get('backbone_cfg') or {}
-            cin = bc.get('in_channels', 64)
-            c0 = tuple(bc.get('out_channels', (64, 128, 256)))[0]
-            n0 = tuple(bc.get('layer_nums', (3, 5, 5)))[0]
-            ho, wo = ny // 2, nx // 2
-            hw = ho * wo * batch_size
-            w2 = mc.get('fold_w2', True) and nx % 4 == 0
-            if w2:
-                # stage0_down 24 vs 9 taps*ch; each block 18 vs 9
-                fwd = 2.0 * hw * (15 * cin * c0 + n0 * 9 * c0 * c0)
-            else:
-                # stage0_down 2x2x4Cin = 16 vs 9
-                fwd = 2.0 * hw * 7 * cin * c0
-            return fwd * (3.0 if train else 1.0)
-    return 0.0
+    bc = mc.get('backbone_cfg') or {}
+    strides = tuple(bc.get('layer_strides', (2, 2, 2)))
+    pcr, vs = mc['point_cloud_range'], mc['voxel_size']
+    nx = int(round((pcr[3] - pcr[0]) / vs[0]))
+    ny = int(round((pcr[4] - pcr[1]) / vs[1]))
+    nz = max(1, int(round((pcr[5] - pcr[2]) / vs[2])))
+    cin = bc.get('in_channels', 64)
+    c0 = tuple(bc.get('out_channels', (64, 128, 256)))[0]
+    n0 = tuple(bc.get('layer_nums', (3, 5, 5)))[0]
+    folds_on = mc.get('s2d_canvas', 'auto') != 'off'
+    w2 = mc.get('fold_w2', True)
+    fwd = 0.0
+    if (folds_on and w2 and strides[0] == 1 and nx % 2 == 0 and nz == 1):
+        # W-only fold (stride-1 stage 0, hard or dynamic): every stage-0
+        # conv doubles nominally (18 vs 9 taps*ch at full lanes)
+        hw = ny * nx * batch_size
+        fwd = 2.0 * hw * 9 * (cin * c0 + n0 * c0 * c0)
+    elif (folds_on and mc.get('voxelize_mode', 'hard') != 'hard'
+          and strides[0] == 2 and nx % 2 == 0 and ny % 2 == 0 and nz == 1):
+        hw = (ny // 2) * (nx // 2) * batch_size
+        if w2 and nx % 4 == 0:
+            # stage0_down 24 vs 9 taps*ch; each block 18 vs 9
+            fwd = 2.0 * hw * (15 * cin * c0 + n0 * 9 * c0 * c0)
+        else:
+            # stage0_down 2x2x4Cin = 16 vs 9
+            fwd = 2.0 * hw * 7 * cin * c0
+    return fwd * (3.0 if train else 1.0)
 
 
 def _cost_flops(jitted, *args) -> float:

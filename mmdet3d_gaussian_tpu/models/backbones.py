@@ -98,15 +98,17 @@ def unfold_w2(x):
 
 class _W2ConvBNReLU(nn.Module):
     """Stride-1 ConvBNReLU on the W-folded layout; parameter tree
-    identical to ``ConvBNReLU`` (conv/kernel (3,3,C,C), bn (C,))."""
+    identical to ``ConvBNReLU`` (conv/kernel (3,3,Cin,C), bn (C,))."""
     channels: int
+    in_channels: Optional[int] = None   # logical Cin (defaults to channels)
     axis_name: Optional[str] = None
     dtype: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, train: bool):
         import jax
-        w = _ConvKernelParam(self.channels, self.channels, name='conv')()
+        cin = self.in_channels or self.channels
+        w = _ConvKernelParam(cin, self.channels, name='conv')()
         folded = fold_w2_kernel(w)
         if self.dtype is not None:
             folded = folded.astype(self.dtype)
@@ -214,12 +216,28 @@ class SECOND(nn.Module):
     # (fold_w2_kernel): same function, full 128-lane tiles on every
     # stage-0 activation; unfolded once at the stage boundary
     fold_w2: bool = False
+    # input is a W-folded canvas (B, ny, nx/2, 2*in_channels) from
+    # ops/voxelize.bev_scatter_wfold; stage 0 must be stride 1 and runs
+    # entirely in the folded layout (reference Waymo config shape)
+    input_wfold: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         outs = []
         for i, (ch, num, stride) in enumerate(zip(
                 self.out_channels, self.layer_nums, self.layer_strides)):
+            if i == 0 and self.input_wfold:
+                assert stride == 1, 'input_wfold requires a stride-1 stage 0'
+                x = _W2ConvBNReLU(ch, in_channels=self.in_channels,
+                                  axis_name=self.axis_name, dtype=self.dtype,
+                                  name='stage0_down')(x, train)
+                for j in range(num):
+                    x = _W2ConvBNReLU(ch, axis_name=self.axis_name,
+                                      dtype=self.dtype,
+                                      name=f'stage0_block{j}')(x, train)
+                x = unfold_w2(x)
+                outs.append(x)
+                continue
             if i == 0 and self.input_s2d:
                 assert stride == 2, 'input_s2d requires a stride-2 stage 0'
                 x = _S2DDownConv(self.in_channels, ch,

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 
 from ...ops.scatter import batch_coords, build_scatter, compute_voxel_coords
 from ...ops.voxelize import (CANVAS_KEY_ORDER, bev_scatter, bev_scatter_s2d,
-                             hard_voxelize)
+                             bev_scatter_wfold, hard_voxelize)
 from ...registry import MODELS
 from ..backbones import SECOND, SECONDFPN
 from ..dense_heads.anchor3d_head import Anchor3DHeadConvs
@@ -116,23 +116,62 @@ class PointPillarsNet(nn.Module):
         enc_cfg.setdefault('voxel_size', self.voxel_size)
         enc_cfg.setdefault('point_cloud_range', self.point_cloud_range)
 
+        first_stride = tuple((self.backbone_cfg or {}).get(
+            'layer_strides', (2, 2, 2)))[0]
+        # W-only fold for stride-1 first stages (reference Waymo config):
+        # canvas (B, ny, nx/2, 2C), stage 0 fully W-folded
+        use_wf = (self.s2d_canvas != 'off' and self.fold_w2
+                  and first_stride == 1 and nx % 2 == 0 and nz == 1)
+
         if self.voxelize_mode == 'hard':
-            hv = hard_voxelize(flat, coords4, spatial,
+            if use_wf:
+                # compact pillars in W-folded cell raster order; the
+                # (b, iy, cx, parity) key is bijective with (b, ix, iy)
+                iy, ix = coords4[:, 2], coords4[:, 1]
+                inval = jnp.any(coords4 < 0, axis=-1)
+                wf_cols = jnp.stack(
+                    [coords4[:, 0], iy, ix // 2, ix & 1], axis=1)
+                coords_hv = jnp.where(inval[:, None], -1, wf_cols)
+                spatial_hv = (b, ny, nx // 2, 2)
+                key_order_hv = None
+            else:
+                coords_hv, spatial_hv = coords4, spatial
+                key_order_hv = CANVAS_KEY_ORDER
+            hv = hard_voxelize(flat, coords_hv, spatial_hv,
                                self.max_points_per_voxel, max_voxels,
-                               key_order=CANVAS_KEY_ORDER)
+                               key_order=key_order_hv)
+            coords_v = hv.coords
+            if use_wf:
+                # reconstruct (b, ix, iy, iz=0) rows for the encoder's
+                # pillar-center decoration (folded coords are an encoding
+                # of the same cell)
+                live = jnp.all(coords_v >= 0, axis=-1)
+                enc_coords = jnp.stack(
+                    [coords_v[:, 0], coords_v[:, 2] * 2 + coords_v[:, 3],
+                     coords_v[:, 1], jnp.zeros_like(coords_v[:, 0])],
+                    axis=1)
+                enc_coords = jnp.where(live[:, None], enc_coords, -1)
+            else:
+                enc_coords = coords_v
             encoder = PillarFeatureNet(axis_name=self.axis_name, dtype=dt,
                                        name='voxel_encoder', **enc_cfg)
-            pillar_feats = encoder(hv.voxels, hv.coords, hv.num_points,
+            pillar_feats = encoder(hv.voxels, enc_coords, hv.num_points,
                                    train=train)
-            coords_v = hv.coords
             use_s2d = False
         else:
-            first_stride = tuple((self.backbone_cfg or {}).get(
-                'layer_strides', (2, 2, 2)))[0]
             use_s2d = (self.s2d_canvas == 'on'
                        or (self.s2d_canvas == 'auto' and first_stride == 2
                            and nx % 2 == 0 and ny % 2 == 0 and nz == 1))
-            if use_s2d:
+            if use_wf:
+                iy, ix = coords4[:, 2], coords4[:, 1]
+                inval = jnp.any(coords4 < 0, axis=-1)
+                wf_cols = jnp.stack(
+                    [coords4[:, 0], iy, ix // 2, ix & 1], axis=1)
+                coords4 = jnp.where(inval[:, None], -1, wf_cols)
+                spatial = (b, ny, nx // 2, 2)
+                key_order = None
+                use_s2d = False
+            elif use_s2d:
                 # compact voxels in s2d CELL raster order (parity minor):
                 # the splat's segment ids are then non-decreasing and the
                 # (b, cy, cx, parity) key is still bijective with pillars
@@ -166,7 +205,10 @@ class PointPillarsNet(nn.Module):
         # gradient + its conv-layout relayout copy halve too.
         if dt is not None:
             pillar_feats = pillar_feats.astype(dt)
-        if use_s2d:
+        if use_wf:
+            canvas = bev_scatter_wfold(pillar_feats, coords_v, b,
+                                       nx // 2, ny, indices_sorted=True)
+        elif use_s2d:
             canvas = bev_scatter_s2d(pillar_feats, coords_v, b,
                                      nx // 2, ny // 2, indices_sorted=True)
         else:
@@ -176,6 +218,7 @@ class PointPillarsNet(nn.Module):
         backbone = SECOND(axis_name=self.axis_name, dtype=dt,
                           input_s2d=use_s2d,
                           fold_w2=use_s2d and self.fold_w2 and nx % 4 == 0,
+                          input_wfold=use_wf,
                           name='backbone', **(self.backbone_cfg or {}))
         neck = SECONDFPN(axis_name=self.axis_name, dtype=dt, name='neck',
                          **(self.neck_cfg or {}))

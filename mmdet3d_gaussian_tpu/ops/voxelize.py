@@ -233,6 +233,34 @@ def bev_scatter_s2d(voxel_feats, coords_s2d, batch_size: int,
     return canvas.reshape(batch_size, ny2, nx2, 4 * c)
 
 
+def bev_scatter_wfold(voxel_feats, coords_fold, batch_size: int,
+                      nx2: int, ny: int, indices_sorted: bool = True):
+    """W-folded BEV splat: pillars -> ``(B, ny, nx/2, 2*C)`` canvas.
+
+    The W-only sibling of :func:`bev_scatter_s2d` for stride-1 first
+    stages (reference Waymo config): adjacent W-pixels share a canvas
+    cell with the two parities stacked on channels (parity ``ix & 1``),
+    filling all 128 lanes at C=64.  ``models/backbones.py`` stage 0 then
+    runs entirely in this layout via ``fold_w2_kernel``.
+
+    Args:
+        coords_fold: (V, 4) int32 rows ``(b, iy, cx, parity)`` (-1
+            invalid), compacted in (b, iy, cx) raster order.
+    """
+    vb, viy, vcx = coords_fold[:, 0], coords_fold[:, 1], coords_fold[:, 2]
+    vpar = coords_fold[:, 3]
+    valid = ((vb >= 0) & (vb < batch_size) & (vcx >= 0) & (vcx < nx2)
+             & (viy >= 0) & (viy < ny))
+    ncell = batch_size * ny * nx2
+    lin = jnp.where(valid, (vb * ny + viy) * nx2 + vcx, ncell)
+    c = voxel_feats.shape[-1]
+    feats2 = jnp.concatenate(
+        [jnp.where((vpar == k)[:, None], voxel_feats, 0) for k in range(2)],
+        axis=1)
+    canvas = _splat(feats2, lin, ncell, indices_sorted)
+    return canvas.reshape(batch_size, ny, nx2, 2 * c)
+
+
 def bev_gather(canvas, coords):
     """Inverse of :func:`bev_scatter`: sample canvas rows at voxel coords."""
     bsz, ny, nx, c = canvas.shape

@@ -114,6 +114,43 @@ def test_s2d_model_matches_plain(mode):
                                    rtol=1e-4, atol=1e-4)
 
 
+TINY_WAYMO = dict(
+    TINY,
+    voxelize_mode='hard',
+    backbone_cfg=dict(in_channels=16, out_channels=(16, 32, 64),
+                      layer_nums=(1, 1, 1), layer_strides=(1, 2, 2)),
+)
+
+
+@pytest.mark.parametrize('vox', ['hard', 'dynamic'])
+def test_wfold_model_matches_plain(vox):
+    """Stride-1 first stage: W-folded canvas + stage 0 == plain path."""
+    cfg = dict(TINY_WAYMO, voxelize_mode=vox)
+    batch = synthetic_batch(batch_size=2, num_points=1024, num_gt=8,
+                            pc_range=cfg['point_cloud_range'])
+    det_off = PointPillarsDetector(model_cfg=dict(cfg, s2d_canvas='off'))
+    det_on = PointPillarsDetector(model_cfg=cfg)
+    variables = jax.jit(det_off.init)(jax.random.PRNGKey(0), batch)
+    assert (jax.tree_util.tree_structure(variables)
+            == jax.tree_util.tree_structure(
+                jax.jit(det_on.init)(jax.random.PRNGKey(0), batch)))
+
+    def loss_grad(det):
+        def f(params):
+            vs = dict(variables, params=params)
+            outs, _ = det.apply_train(vs, batch)
+            return det.loss(outs, batch)[0]
+        return jax.jit(jax.value_and_grad(f))(variables['params'])
+
+    l_off, g_off = loss_grad(det_off)
+    l_on, g_on = loss_grad(det_on)
+    np.testing.assert_allclose(float(l_off), float(l_on), rtol=1e-4)
+    for a, b_ in zip(jax.tree_util.tree_leaves(g_off),
+                     jax.tree_util.tree_leaves(g_on)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=2e-3, atol=2e-4)
+
+
 def test_s2d_gradients_match_plain():
     batch = synthetic_batch(batch_size=2, num_points=1024, num_gt=8,
                             pc_range=TINY['point_cloud_range'])
