@@ -29,7 +29,9 @@ from ...registry import MODELS
 from ..backbones import SECOND, SECONDFPN
 from ..dense_heads.anchor3d_head import Anchor3DHeadConvs
 from ..dense_heads.centerpoint_head import CenterHeadConvs
-from ..voxel_encoders import DynamicPillarFeatureNet, PillarFeatureNet
+from ..voxel_encoders import (DynamicPillarFeatureNet,
+                              PillarFeatureNet,
+                              SortedPillarFeatureNet)
 
 
 @MODELS.register_module()
@@ -59,6 +61,13 @@ class PointPillarsNet(nn.Module):
     # with s2d: run stage 0 of the backbone in the W-folded layout too
     # (backbones.fold_w2_kernel) — same function, half the stage-0 HBM
     fold_w2: bool = True
+    # hard-pillar encoder: 'packed' (padded (V, P, C) pillars) or 'sorted'
+    # (segment ops over a rank mask — never packs the table); numerically
+    # identical, same parameter tree.  MEASURED NEGATIVE (v5e, honest
+    # clock, Waymo b2 bf16 hard): 'sorted' 79.8 ms vs 'packed' 65.7 —
+    # killing the 4.3 ms packed gather costs ~14 ms of row-serialized
+    # segment reduce/mapback over 720k points.  Default stays 'packed'.
+    hard_encoder: str = 'packed'
 
     def _grid(self) -> Tuple[int, int]:
         pcr, vs = self.point_cloud_range, self.voxel_size
@@ -137,26 +146,57 @@ class PointPillarsNet(nn.Module):
             else:
                 coords_hv, spatial_hv = coords4, spatial
                 key_order_hv = CANVAS_KEY_ORDER
-            hv = hard_voxelize(flat, coords_hv, spatial_hv,
-                               self.max_points_per_voxel, max_voxels,
-                               key_order=key_order_hv)
-            coords_v = hv.coords
-            if use_wf:
-                # reconstruct (b, ix, iy, iz=0) rows for the encoder's
-                # pillar-center decoration (folded coords are an encoding
-                # of the same cell)
-                live = jnp.all(coords_v >= 0, axis=-1)
-                enc_coords = jnp.stack(
-                    [coords_v[:, 0], coords_v[:, 2] * 2 + coords_v[:, 3],
-                     coords_v[:, 1], jnp.zeros_like(coords_v[:, 0])],
-                    axis=1)
-                enc_coords = jnp.where(live[:, None], enc_coords, -1)
+            if self.hard_encoder == 'sorted':
+                # hard == dynamic restricted to the first max_points of
+                # each voxel: run the PFN on the 360k sorted point rows
+                # with a rank mask instead of packing a (V, P, C) table
+                # (the packed gather at Waymo scale cost ~4.3 ms and its
+                # 5-channel minor dim pads 5 -> 128 lanes in HBM)
+                scatter = build_scatter(coords_hv, spatial_hv, max_voxels,
+                                        key_order=key_order_hv)
+                flat_sorted = jnp.take(flat, scatter.sort_order, axis=0)
+                sv = scatter.sorted_view()
+                seg = sv.point_voxel_ids
+                pos = jnp.arange(seg.shape[0], dtype=jnp.int32)
+                from ...ops.scan import cummax_i32
+                firstf = jnp.concatenate([
+                    jnp.ones((1,), bool), seg[1:] != seg[:-1]])
+                start_pos = cummax_i32(jnp.where(firstf, pos, 0))
+                rank = pos - start_pos
+                kept = ((seg < max_voxels)
+                        & (rank < self.max_points_per_voxel))
+                kept_cnt = jnp.minimum(scatter.voxel_counts,
+                                       self.max_points_per_voxel)
+                encoder = SortedPillarFeatureNet(
+                    axis_name=self.axis_name, dtype=dt,
+                    name='voxel_encoder', **enc_cfg)
+                pillar_feats = encoder(flat_sorted, sv, kept, kept_cnt,
+                                       self.max_points_per_voxel,
+                                       train=train)
+                coords_v = scatter.voxel_coords
             else:
-                enc_coords = coords_v
-            encoder = PillarFeatureNet(axis_name=self.axis_name, dtype=dt,
-                                       name='voxel_encoder', **enc_cfg)
-            pillar_feats = encoder(hv.voxels, enc_coords, hv.num_points,
-                                   train=train)
+                hv = hard_voxelize(flat, coords_hv, spatial_hv,
+                                   self.max_points_per_voxel, max_voxels,
+                                   key_order=key_order_hv)
+                coords_v = hv.coords
+                if use_wf:
+                    # reconstruct (b, ix, iy, iz=0) rows for the encoder's
+                    # pillar-center decoration (folded coords encode the
+                    # same cell)
+                    live = jnp.all(coords_v >= 0, axis=-1)
+                    enc_coords = jnp.stack(
+                        [coords_v[:, 0],
+                         coords_v[:, 2] * 2 + coords_v[:, 3],
+                         coords_v[:, 1], jnp.zeros_like(coords_v[:, 0])],
+                        axis=1)
+                    enc_coords = jnp.where(live[:, None], enc_coords, -1)
+                else:
+                    enc_coords = coords_v
+                encoder = PillarFeatureNet(axis_name=self.axis_name,
+                                           dtype=dt, name='voxel_encoder',
+                                           **enc_cfg)
+                pillar_feats = encoder(hv.voxels, enc_coords,
+                                       hv.num_points, train=train)
             use_s2d = False
         else:
             use_s2d = (self.s2d_canvas == 'on'

@@ -195,6 +195,113 @@ class PillarFeatureNet(nn.Module):
         return x  # (P, C_out)
 
 
+class _SortedPFNLayer(nn.Module):
+    """PFNLayer twin computed on sorted point rows (parameter tree
+    identical: linear + norm under the same module name)."""
+    out_channels: int
+    last_layer: bool = False
+    masked_max: bool = False
+    axis_name: Optional[str] = None
+    dtype: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, pad_x, kept, scatter, has_pad, train: bool):
+        """x (N, C) sorted point rows; pad_x (V, C) virtual padding-slot
+        rows (what a padded slot's features would be at this layer);
+        kept (N,) bool; has_pad (V,) bool (pillar has at least one
+        padding slot).  Returns (x_next, pad_next, pooled)."""
+        units = self.out_channels if self.last_layer \
+            else self.out_channels // 2
+        dense = nn.Dense(units, use_bias=False, dtype=self.dtype,
+                         name='linear')
+        y = dense(x)
+        pad_y = dense(pad_x)
+        n = y.shape[0]
+        bn = MaskedBatchNorm(axis_name=self.axis_name, name='norm')
+        z = bn(jnp.concatenate([y, pad_y], axis=0),
+               mask=jnp.concatenate(
+                   [kept, jnp.zeros((pad_y.shape[0],), bool)]),
+               use_running_average=not train)
+        y = nn.relu(z[:n])
+        pad_y = nn.relu(z[n:])
+        neg = jnp.asarray(-1e4, y.dtype)
+        seg_max = scatter.reduce(jnp.where(kept[:, None], y, neg), 'max')
+        if self.masked_max:
+            pooled = seg_max
+        else:
+            # reference masked_max=False: padded slots (zeros -> BN affine
+            # -> relu constants) participate in the pillar max whenever
+            # the pillar has at least one padding slot
+            pooled = jnp.where(has_pad[:, None],
+                               jnp.maximum(seg_max, pad_y), seg_max)
+        if self.last_layer:
+            return None, None, pooled
+        tiled = scatter.mapback(pooled)
+        x_next = jnp.concatenate([y, tiled], axis=-1)
+        pad_next = jnp.concatenate([pad_y, pooled], axis=-1)
+        return x_next, pad_next, pooled
+
+
+@MODELS.register_module()
+class SortedPillarFeatureNet(nn.Module):
+    """Hard-pillar encoder computed in the SORTED POINT domain.
+
+    Numerically identical to :class:`PillarFeatureNet` on packed pillars
+    (same parameter tree — checkpoints transfer 1:1) but never
+    materializes the (V, max_points, C) table: the reference hard path is
+    exactly the dynamic path restricted to the first ``max_points`` points
+    of each voxel (ascending point index), so segment ops over a rank
+    mask reproduce it.  At Waymo scale the packed gather alone cost
+    ~4.3 ms/step (1.28M mostly-empty slots whose minor dim pads 5 -> 128
+    lanes); this path touches each of the 360k real points once.
+    """
+    in_channels: int = 4
+    feat_channels: Sequence[int] = (64,)
+    with_distance: bool = False
+    with_cluster_center: bool = True
+    with_voxel_center: bool = True
+    voxel_size: Sequence[float] = (0.16, 0.16, 4.0)
+    point_cloud_range: Sequence[float] = (0., -39.68, -3., 69.12, 39.68, 1.)
+    masked_max: bool = False
+    axis_name: Optional[str] = None
+    dtype: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, points_sorted, scatter, kept, kept_cnt, max_points,
+                 train: bool = False):
+        """points_sorted (N, C) voxel-sorted rows; scatter: the SORTED
+        view; kept (N,) bool (valid and rank < max_points); kept_cnt (V,)
+        = min(count, max_points)."""
+        xyz = points_sorted[..., :3]
+        kf = kept[:, None].astype(points_sorted.dtype)
+        feats = [points_sorted]
+        if self.with_cluster_center:
+            vox_sum = scatter.reduce(xyz * kf, 'sum')
+            vox_mean = vox_sum / jnp.maximum(
+                kept_cnt, 1).astype(xyz.dtype)[:, None]
+            feats.append(xyz - scatter.mapback(vox_mean))
+        if self.with_voxel_center:
+            vsz = jnp.asarray(self.voxel_size, xyz.dtype)
+            org = jnp.asarray(self.point_cloud_range[:3], xyz.dtype)
+            cell = jnp.floor((xyz - org) / vsz)
+            feats.append(xyz - ((cell + 0.5) * vsz + org))
+        if self.with_distance:
+            feats.append(jnp.linalg.norm(xyz, axis=-1, keepdims=True))
+        x = jnp.concatenate(feats, axis=-1) * kf
+
+        v = kept_cnt.shape[0]
+        has_pad = kept_cnt < max_points
+        pad_x = jnp.zeros((v, x.shape[-1]), x.dtype)
+        pooled = None
+        for i, ch in enumerate(self.feat_channels):
+            x, pad_x, pooled = _SortedPFNLayer(
+                ch, last_layer=(i == len(self.feat_channels) - 1),
+                masked_max=self.masked_max, axis_name=self.axis_name,
+                dtype=self.dtype, name=f'pfn_{i}')(
+                    x, pad_x, kept, scatter, has_pad, train)
+        return pooled  # (V, C_out)
+
+
 class PointVoxelStatsCalculator(nn.Module):
     """Per-point decoration from voxel statistics (reference
     ``models/voxel_encoders/utils.py:7-89``), computed with sort-based

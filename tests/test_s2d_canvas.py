@@ -151,6 +151,45 @@ def test_wfold_model_matches_plain(vox):
                                    rtol=2e-3, atol=2e-4)
 
 
+@pytest.mark.parametrize('first_stride', [1, 2])
+def test_sorted_hard_encoder_matches_packed(first_stride):
+    """hard_encoder='sorted' == 'packed' (same params), incl. pillars
+    over max_points capacity and empty pillars."""
+    bb = dict(in_channels=16, out_channels=(16, 32, 64),
+              layer_nums=(1, 1, 1), layer_strides=(first_stride, 2, 2))
+    cfg = dict(TINY, voxelize_mode='hard', max_points_per_voxel=4,
+               backbone_cfg=bb)
+    rng = np.random.RandomState(0)
+    pts = rng.uniform([0., -12.8, -3., 0.], [25.6, 12.8, 1., 1.],
+                      (2, 512, 4)).astype(np.float32)
+    pts[0, 100:140] = pts[0, 0]     # 40 points in one pillar (cap 4)
+    batch = synthetic_batch(batch_size=2, num_points=512, num_gt=8,
+                            pc_range=cfg['point_cloud_range'])
+    batch['points'] = pts
+
+    packed = PointPillarsDetector(model_cfg=dict(cfg, hard_encoder='packed'))
+    srt = PointPillarsDetector(model_cfg=dict(cfg, hard_encoder='sorted'))
+    variables = jax.jit(packed.init)(jax.random.PRNGKey(0), batch)
+    assert (jax.tree_util.tree_structure(variables)
+            == jax.tree_util.tree_structure(
+                jax.jit(srt.init)(jax.random.PRNGKey(1), batch)))
+
+    def loss_grad(det):
+        def f(params):
+            vs = dict(variables, params=params)
+            outs, _ = det.apply_train(vs, batch)
+            return det.loss(outs, batch)[0]
+        return jax.jit(jax.value_and_grad(f))(variables['params'])
+
+    l_p, g_p = loss_grad(packed)
+    l_s, g_s = loss_grad(srt)
+    np.testing.assert_allclose(float(l_p), float(l_s), rtol=1e-4)
+    for a, b_ in zip(jax.tree_util.tree_leaves(g_p),
+                     jax.tree_util.tree_leaves(g_s)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=2e-3, atol=2e-4)
+
+
 def test_s2d_gradients_match_plain():
     batch = synthetic_batch(batch_size=2, num_points=1024, num_gt=8,
                             pc_range=TINY['point_cloud_range'])
