@@ -83,11 +83,16 @@ def compact_indices(mask, k: int):
     cnt = inrow[:, -1]                       # (g,) positives per chunk
     ccum = _blocked_scan(cnt, jnp.add, 0)    # inclusive
     j = jnp.arange(k, dtype=jnp.int32)
-    # searchsorted(ccum, j, 'right') — but jnp.searchsorted lowers to a
-    # serialized while loop under vmap (~1 ms at (4, 1024) x (4, 2511));
-    # the monotone ccum makes it a compare-count: one fused (k, g) reduce.
-    c = jnp.sum((ccum[None, :] <= j[:, None]).astype(jnp.int32),
-                axis=1).astype(jnp.int32)
+    # chunk-of-slot lookup WITHOUT searchsorted (serialized while loop
+    # under vmap) or compare-count (materializes a (k, g) tensor — 131 MB
+    # at k=64000): each live chunk owns the slot range
+    # [ccum[c]-cnt[c], ccum[c]); write its id at the range start (one
+    # g-row scatter, unique live slots) and cummax-fill downward.
+    slot_start = ccum - cnt
+    write_slot = jnp.where((cnt > 0) & (slot_start < k), slot_start, k)
+    chunk_mark = jnp.zeros((k + 1,), jnp.int32).at[write_slot].max(
+        jnp.arange(g, dtype=jnp.int32), mode='drop')
+    c = cummax_i32(chunk_mark[:k])
     valid = j < ccum[-1]
     c = jnp.clip(c, 0, g - 1)
     rows = jnp.take(inrow, c, axis=0)        # (k, ch) row gather

@@ -80,6 +80,12 @@ class Scatter(NamedTuple):
     sorted_starts: Optional[jax.Array] = None  # (max_voxels,) first sorted
                                  # position per voxel (cummax-filled for
                                  # empties, monotone nondecreasing)
+    sorted_ids: Optional[jax.Array] = None  # (N,) compact ids on the SORTED
+                                 # point order (the pre-unsort form) — lets
+                                 # sorted_view avoid re-gathering
+                                 # point_voxel_ids through sort_order (the
+                                 # unsort + re-gather pair cost ~0.9 ms at
+                                 # KITTI b4 and cancels exactly)
 
     def sorted_view(self) -> 'Scatter':
         """Scatter over the voxel-sorted point permutation.
@@ -96,7 +102,8 @@ class Scatter(NamedTuple):
         ascending original point index.
         """
         n = self.sort_order.shape[0]
-        ids = jnp.take(self.point_voxel_ids, self.sort_order)
+        ids = (self.sorted_ids if self.sorted_ids is not None
+               else jnp.take(self.point_voxel_ids, self.sort_order))
         return self._replace(point_voxel_ids=ids,
                              sort_order=jnp.arange(n, dtype=jnp.int32),
                              ids_sorted=True)
@@ -338,7 +345,10 @@ def build_scatter(coords, spatial_shape: Sequence[int],
     # scatter to ~0.3 ms each).  Sorting (id-or-trash, pos) pairs puts the
     # k-th live voxel's entry exactly at slot k (live ids are 0..L-1,
     # unique, ascending; trash keys sort last), so the dense table is a
-    # SLICE of the sort output.
+    # SLICE of the sort output.  (compact_indices-based tables were
+    # measured SLOWER here at V=64k: +2.3 ms/step — the chunked-scan
+    # machinery beats sorts only for small k, e.g. the loss's K=1024
+    # positive selection.)
     pos = jnp.arange(n, dtype=jnp.int32)
     last = jnp.concatenate([
         (seg_sorted[1:] != seg_sorted[:-1]),
@@ -378,7 +388,8 @@ def build_scatter(coords, spatial_shape: Sequence[int],
                    max_voxels=max_voxels,
                    sort_order=order.astype(jnp.int32),
                    num_overflow=num_overflow.astype(jnp.int32),
-                   sorted_starts=starts)
+                   sorted_starts=starts,
+                   sorted_ids=seg_sorted)
 
 
 def batch_coords(coords_3d, batch_idx):
