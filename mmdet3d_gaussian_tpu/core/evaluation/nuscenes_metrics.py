@@ -18,9 +18,15 @@ This module rebuilds the devkit's detection metric natively
 
 Deviation from the devkit: evaluation runs in the LiDAR frame (per-frame
 rigid transform of the devkit's global frame — centre distances, size
-ratios and yaw differences are invariant), and attribute errors (AAE) are
-omitted because this framework has no attribute head; NDS normalizes over
-the metrics actually computed.
+ratios and yaw differences are invariant).  Attribute errors (AAE): the
+framework has no attribute head (neither does the reference), so detected
+attributes come from the velocity/class heuristic mmdet3d uses when
+formatting submissions (upstream ``nuscenes_dataset.py::_format_bbox``;
+the reference inherits it): vehicles moving above 0.2 m/s ->
+'vehicle.moving', cycles -> 'cycle.with_rider', else the per-class
+default.  AAE is computed only when annotations carry ``gt_nus_attrs``
+(ids into NUS_ATTRIBUTES, -1 = void); without them the NDS normalizes
+over the metrics actually computed, as before.
 """
 from __future__ import annotations
 
@@ -37,11 +43,57 @@ N_INTERP = 101
 # devkit class capability table (cfg 'detection_cvpr_2019')
 NO_ORIENT = {'traffic_cone'}
 NO_VEL = {'barrier', 'traffic_cone'}
+NO_ATTR = {'barrier', 'traffic_cone'}
 YAW_PERIOD_PI = {'barrier'}
 
-TP_METRICS = ('trans_err', 'scale_err', 'orient_err', 'vel_err')
+TP_METRICS = ('trans_err', 'scale_err', 'orient_err', 'vel_err',
+              'attr_err')
 TP_LABELS = {'trans_err': 'mATE', 'scale_err': 'mASE',
-             'orient_err': 'mAOE', 'vel_err': 'mAVE'}
+             'orient_err': 'mAOE', 'vel_err': 'mAVE',
+             'attr_err': 'mAAE'}
+
+# nuScenes attribute vocabulary (ids used by gt_attrs / infer_attribute)
+NUS_ATTRIBUTES = (
+    'cycle.with_rider', 'cycle.without_rider',
+    'pedestrian.moving', 'pedestrian.standing', 'pedestrian.sitting_lying_down',
+    'vehicle.moving', 'vehicle.parked', 'vehicle.stopped',
+)
+_ATTR_ID = {a: i for i, a in enumerate(NUS_ATTRIBUTES)}
+
+# mmdet3d DefaultAttribute table (upstream nuscenes_dataset.py)
+DEFAULT_ATTRIBUTE = {
+    'car': 'vehicle.parked', 'pedestrian': 'pedestrian.moving',
+    'trailer': 'vehicle.parked', 'truck': 'vehicle.parked',
+    'bus': 'vehicle.moving', 'motorcycle': 'cycle.without_rider',
+    'construction_vehicle': 'vehicle.parked',
+    'bicycle': 'cycle.without_rider', 'barrier': '', 'traffic_cone': '',
+}
+
+
+def infer_attribute(cls_name: str, det_row: np.ndarray) -> int:
+    """mmdet3d submission-time attribute heuristic -> NUS_ATTRIBUTES id
+    (-1 for attribute-less classes).  det_row columns 7:9 hold velocity
+    when present."""
+    if cls_name in NO_ATTR:
+        return -1
+    vel = float(np.hypot(det_row[7], det_row[8])) if len(det_row) >= 10 \
+        else 0.0
+    if vel > 0.2:
+        if cls_name in ('car', 'construction_vehicle', 'bus', 'truck',
+                        'trailer'):
+            attr = 'vehicle.moving'
+        elif cls_name in ('bicycle', 'motorcycle'):
+            attr = 'cycle.with_rider'
+        else:
+            attr = DEFAULT_ATTRIBUTE.get(cls_name, '')
+    else:
+        if cls_name == 'pedestrian':
+            attr = 'pedestrian.standing'
+        elif cls_name == 'bus':
+            attr = 'vehicle.stopped'
+        else:
+            attr = DEFAULT_ATTRIBUTE.get(cls_name, '')
+    return _ATTR_ID.get(attr, -1)
 
 
 def _yaw_diff(a: np.ndarray, b: np.ndarray, period: float) -> np.ndarray:
@@ -71,10 +123,11 @@ class _MetricData:
 def _accumulate(frames: Sequence[Tuple], cls_name: str, dist_th: float,
                 collect_errors: bool) -> Tuple[_MetricData, int]:
     """frames: per frame (det_boxes (N,>=8 incl score last), gt_boxes
-    (G,7|9)).  Returns (metric data, npos)."""
+    (G,7|9)[, nus attr ids (G,)]).  Returns (metric data, npos)."""
     npos = 0
     rows = []                          # (score, frame_idx, det_row)
-    for f, (det, gt) in enumerate(frames):
+    for f, frame in enumerate(frames):
+        det, gt = frame[0], frame[1]
         npos += len(gt)
         for row in det:
             rows.append((float(row[-1]), f, row))
@@ -100,6 +153,13 @@ def _accumulate(frames: Sequence[Tuple], cls_name: str, dist_th: float,
             if collect_errors:
                 g = gt[best]
                 md.match_conf.append(score)
+                if cls_name not in NO_ATTR and len(frames[f]) > 2 \
+                        and frames[f][2] is not None:
+                    ga = int(frames[f][2][best])
+                    if ga >= 0:   # devkit skips void-attribute GT
+                        da = infer_attribute(cls_name, det_row)
+                        md.errors['attr_err'].append(
+                            0.0 if da == ga else 1.0)
                 md.errors['trans_err'].append(best_dist)
                 md.errors['scale_err'].append(
                     1.0 - float(_aligned_iou3d(det_row[3:6], g[3:6])))
@@ -183,14 +243,20 @@ def nuscenes_eval(det_results: Sequence[Sequence[np.ndarray]],
     annotations: per frame dicts with 'gt_bboxes' (G, 7|9) and 'gt_labels'.
     """
     num_cls = len(classes)
+    have_attrs = any('gt_nus_attrs' in ann for ann in annotations)
     per_class_frames = []
     for c in range(num_cls):
         frames = []
         for det, ann in zip(det_results, annotations):
             gt_boxes = np.asarray(ann['gt_bboxes'], np.float32)
             labels = np.asarray(ann['gt_labels']).reshape(-1)
+            sel = labels == c
+            attrs = None
+            if 'gt_nus_attrs' in ann:
+                attrs = np.asarray(ann['gt_nus_attrs'],
+                                   np.int32).reshape(-1)[sel]
             frames.append((np.asarray(det[c], np.float32),
-                           gt_boxes[labels == c]))
+                           gt_boxes[sel], attrs))
         per_class_frames.append(frames)
 
     results: Dict[str, float] = {}
@@ -218,6 +284,8 @@ def nuscenes_eval(det_results: Sequence[Sequence[np.ndarray]],
             if m == 'orient_err' and cname in NO_ORIENT:
                 continue
             if m == 'vel_err' and cname in NO_VEL:
+                continue
+            if m == 'attr_err' and (cname in NO_ATTR or not have_attrs):
                 continue
             active[m].append(tp_err[m][c])
     n_tp_metrics = 0

@@ -199,3 +199,40 @@ def test_golden_fixture_hand_computed():
     assert abs(res['mAVE'] - 0.7125) < 1e-6
     assert abs(res['NDS'] - 0.5599497797096675) < 1e-6
     assert 'NDS' in report
+
+
+def test_golden_fixture_with_attributes():
+    """mAAE golden: same scene as test_golden_fixture_hand_computed plus
+    GT attributes.  Detected attributes come from the mmdet3d heuristic
+    (both matched dets have |v| > 0.2 -> 'vehicle.moving'); G0 is labeled
+    'vehicle.parked' (error 1), G1 'vehicle.moving' (error 0), so the
+    per-TP attr errors in match order are [1, 0] and the cumulative means
+    [1, 0.5] run through the same confidence interpolation as mATE
+    (weight 17/60 on the second point — derived from mATE = 0.6 +
+    0.2*(17/60)):
+        mAAE = 1 - 0.5 * 17/60 = 103/120 = 0.8583333333333334
+        NDS  = (5*mAP + sum over FIVE tp metrics of (1 - err)) / 10
+             = 0.5181214684053674  (the devkit's full 10-term formula)
+    """
+    import numpy as np
+    from mmdet3d_gaussian_tpu.core.evaluation.nuscenes_metrics import (
+        NUS_ATTRIBUTES, nuscenes_eval)
+    moving = NUS_ATTRIBUTES.index('vehicle.moving')
+    parked = NUS_ATTRIBUTES.index('vehicle.parked')
+    dets = [[np.array([
+        [0.6, 0, 0, 2, 2, 1.5, 0.1, 0.5, 0, 0.9],
+        [10, 1, 0, 4, 2, 1.5, np.pi / 4, 1, 2, 0.7],
+        [20, 0, 0, 4, 2, 1.5, 0.0, 0, 0, 0.5],
+    ], np.float32)]]
+    anns = [dict(gt_bboxes=np.array([
+        [0, 0, 0, 4, 2, 1.5, 0, 0, 0],
+        [10, 0, 0, 4, 2, 1.5, 0, 1, 0],
+    ], np.float32), gt_labels=np.array([0, 0]),
+        gt_nus_attrs=np.array([parked, moving], np.int32))]
+    res, report = nuscenes_eval(dets, anns, ['car'])
+    # AP/ATE/ASE/AOE/AVE identical to the attribute-less golden
+    assert abs(res['mAP'] - 0.6069958847736626) < 1e-6
+    assert abs(res['mATE'] - 0.6566666666666666) < 1e-6
+    assert abs(res['mAAE'] - 0.8583333333333334) < 1e-6
+    assert abs(res['NDS'] - 0.5181214684053674) < 1e-6
+    assert 'mAAE' in report or 'AAE' in report
