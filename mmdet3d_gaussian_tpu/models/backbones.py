@@ -8,6 +8,7 @@ the reference norm_cfg (eps 1e-3, torch momentum 0.01).
 """
 from __future__ import annotations
 
+import os
 from typing import Optional, Sequence
 
 import flax.linen as nn
@@ -15,6 +16,20 @@ import jax.numpy as jnp
 
 from ..ops.pallas.bn_kernel import FastBatchNorm
 from ..registry import MODELS
+
+
+def _deconv_impl() -> str:
+    """Neck upsample lowering: 'convt' (lax.conv_transpose) or 'd2s'
+    (1x1 conv to s*s*C channels + depth-to-space reshape — the exact
+    same function: a kernel-size==stride ConvTranspose has no tap
+    overlap, so each input pixel independently emits an s x s block).
+    The d2s form is a pure MXU matmul at full 128-lane tiles instead of
+    XLA's input-dilated conv lowering; measured on v5e (KITTI b4 bf16
+    dynamic, honest clock) the step drops 23.3 -> 22.1 ms — the entire
+    win in the backward pass (bwd_opt 12.3 -> 10.4 ms), where the
+    transposed-conv wgrad/dgrad lowering was the cost.  Default 'd2s'
+    on that evidence; both forms share one checkpoint tree."""
+    return os.environ.get('MMDET3D_TPU_DECONV', 'd2s')
 
 
 def fold_s2d_kernel(w):
@@ -159,6 +174,20 @@ class _S2DDownConv(nn.Module):
         return nn.relu(x)
 
 
+class _DeconvKernelParam(nn.Module):
+    """Parameter-only twin of ``nn.ConvTranspose(...)``'s kernel (same
+    name/shape/init) so the d2s neck path keeps the checkpoint tree."""
+    cin: int
+    features: int
+    stride: int
+
+    @nn.compact
+    def __call__(self):
+        return self.param('kernel', nn.initializers.lecun_normal(),
+                          (self.stride, self.stride, self.cin,
+                           self.features), jnp.float32)
+
+
 class _ConvKernelParam(nn.Module):
     """Parameter-only twin of ``nn.Conv(...)``'s kernel (same name/shape/
     init) so _S2DDownConv keeps ConvBNReLU's checkpoint structure."""
@@ -291,6 +320,35 @@ class SECONDFPN(nn.Module):
         outs = []
         for i, (x, ch, s) in enumerate(zip(feats, self.out_channels,
                                            self.upsample_strides)):
+            if s > 1 and _deconv_impl() == 'd2s':
+                import jax
+                cin = x.shape[-1]
+                kern = _DeconvKernelParam(cin, ch, s,
+                                          name=f'deblock{i}_conv')()
+                # flax ConvTranspose(k=s, stride=s) places K[r, q] at
+                # output offset (s-1-r, s-1-q) of each s x s block
+                # (kernel spatially flipped) — fold that placement into
+                # a 1x1 conv producing (r*s+q)-major channel groups.
+                kf = kern[::-1, ::-1]
+                w1 = kf.transpose(2, 0, 1, 3).reshape(1, 1, cin,
+                                                      s * s * ch)
+                if self.dtype is not None:
+                    w1 = w1.astype(self.dtype)
+                    x = x.astype(self.dtype)
+                y = jax.lax.conv_general_dilated(
+                    x, w1, window_strides=(1, 1), padding='VALID',
+                    dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+                y = FastBatchNorm(use_running_average=not train,
+                                  momentum=0.99, epsilon=1e-3,
+                                  axis_name=self.axis_name,
+                                  dtype=self.dtype, channel_fold=s * s,
+                                  name=f'deblock{i}_bn')(y)
+                y = nn.relu(y)
+                b, hh, ww, _ = y.shape
+                y = y.reshape(b, hh, ww, s, s, ch)
+                y = y.transpose(0, 1, 3, 2, 4, 5)
+                outs.append(y.reshape(b, hh * s, ww * s, ch))
+                continue
             if s > 1:
                 x = nn.ConvTranspose(ch, (s, s), strides=(s, s),
                                      use_bias=False, dtype=self.dtype,
