@@ -12,24 +12,24 @@ import os
 from typing import Optional, Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from ..ops.pallas.bn_kernel import FastBatchNorm
 from ..registry import MODELS
 
-
-def _deconv_impl() -> str:
-    """Neck upsample lowering: 'convt' (lax.conv_transpose) or 'd2s'
-    (1x1 conv to s*s*C channels + depth-to-space reshape — the exact
-    same function: a kernel-size==stride ConvTranspose has no tap
-    overlap, so each input pixel independently emits an s x s block).
-    The d2s form is a pure MXU matmul at full 128-lane tiles instead of
-    XLA's input-dilated conv lowering; measured on v5e (KITTI b4 bf16
-    dynamic, honest clock) the step drops 23.3 -> 22.1 ms — the entire
-    win in the backward pass (bwd_opt 12.3 -> 10.4 ms), where the
-    transposed-conv wgrad/dgrad lowering was the cost.  Default 'd2s'
-    on that evidence; both forms share one checkpoint tree."""
-    return os.environ.get('MMDET3D_TPU_DECONV', 'd2s')
+# Neck upsample lowering default: 'convt' (lax.conv_transpose) or 'd2s'
+# (1x1 conv to s*s*C channels + depth-to-space reshape — the exact same
+# function: a kernel-size==stride ConvTranspose has no tap overlap, so
+# each input pixel independently emits an s x s block).  The d2s form is
+# a pure MXU matmul at full 128-lane tiles instead of XLA's input-dilated
+# conv lowering; measured on v5e (KITTI b4 bf16 dynamic, honest clock)
+# the step drops 23.3 -> 22.1 ms — the entire win in the backward pass
+# (bwd_opt 12.3 -> 10.4 ms), where the transposed-conv wgrad/dgrad
+# lowering was the cost.  Default 'd2s' on that evidence; both forms
+# share one checkpoint tree.  Read ONCE at import (jit caches don't key
+# on env vars); per-module override via ``SECONDFPN.deconv_impl``.
+DECONV_DEFAULT = os.environ.get('MMDET3D_TPU_DECONV', 'd2s')
 
 
 def fold_s2d_kernel(w):
@@ -121,7 +121,6 @@ class _W2ConvBNReLU(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool):
-        import jax
         cin = self.in_channels or self.channels
         w = _ConvKernelParam(cin, self.channels, name='conv')()
         folded = fold_w2_kernel(w)
@@ -151,7 +150,6 @@ class _S2DDownConv(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool):
-        import jax
         w = _ConvKernelParam(self.in_channels, self.out_channels,
                              name='conv')()
         if self.fold_w2:
@@ -314,14 +312,18 @@ class SECONDFPN(nn.Module):
     upsample_strides: Sequence[int] = (1, 2, 4)
     axis_name: Optional[str] = None
     dtype: Optional[str] = None
+    # upsample lowering: 'd2s' | 'convt'; None -> module-import default
+    # (MMDET3D_TPU_DECONV).  An explicit field so the lowering is part of
+    # module config — jit caches key on it (advisor r4 finding).
+    deconv_impl: Optional[str] = None
 
     @nn.compact
     def __call__(self, feats, train: bool = False):
+        impl = self.deconv_impl or DECONV_DEFAULT
         outs = []
         for i, (x, ch, s) in enumerate(zip(feats, self.out_channels,
                                            self.upsample_strides)):
-            if s > 1 and _deconv_impl() == 'd2s':
-                import jax
+            if s > 1 and impl == 'd2s':
                 cin = x.shape[-1]
                 kern = _DeconvKernelParam(cin, ch, s,
                                           name=f'deblock{i}_conv')()

@@ -6,11 +6,11 @@
 kernel-size == stride ConvTranspose has no tap overlap, so it equals a
 1x1 conv to ``s*s*C`` channels followed by depth-to-space — a pure MXU
 matmul at full 128-lane tiles instead of XLA's input-dilated transposed
-conv lowering.  ``MMDET3D_TPU_DECONV=d2s`` flips the lowering; the
-variable tree is byte-identical so checkpoints transfer 1:1.
+conv lowering.  ``SECONDFPN.deconv_impl`` selects the lowering (module
+config, so jit caches key on it; MMDET3D_TPU_DECONV only sets the
+import-time default); the variable tree is byte-identical so checkpoints
+transfer 1:1.
 """
-import os
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -19,14 +19,11 @@ import pytest
 from mmdet3d_gaussian_tpu.models.backbones import SECONDFPN
 
 
-@pytest.fixture()
-def _restore_deconv_env():
-    old = os.environ.get('MMDET3D_TPU_DECONV')
-    yield
-    if old is None:
-        os.environ.pop('MMDET3D_TPU_DECONV', None)
-    else:
-        os.environ['MMDET3D_TPU_DECONV'] = old
+def _neck(impl, dtype=None):
+    return SECONDFPN(in_channels=(64, 128, 256),
+                     out_channels=(128, 128, 128),
+                     upsample_strides=(1, 2, 4),
+                     dtype=dtype, deconv_impl=impl)
 
 
 def _feats(dtype=np.float32):
@@ -35,42 +32,40 @@ def _feats(dtype=np.float32):
             for s, c in ((1, 64), (2, 128), (4, 256))]
 
 
-def test_d2s_neck_matches_convtranspose(_restore_deconv_env):
-    neck = SECONDFPN(in_channels=(64, 128, 256),
-                     out_channels=(128, 128, 128),
-                     upsample_strides=(1, 2, 4))
+@pytest.mark.parametrize('dtype,tol', [(None, 1e-5), ('bfloat16', 2e-2)])
+def test_d2s_neck_matches_convtranspose(dtype, tol):
+    # bf16 row pins the d2s branch's manual cast path (backbones.py
+    # deconv_impl=='d2s' casts x and the folded 1x1 kernel by hand, where
+    # the convt branch relies on nn.ConvTranspose(dtype=...)).
     feats = _feats()
-    os.environ['MMDET3D_TPU_DECONV'] = 'convt'
-    vs = neck.init(jax.random.PRNGKey(0), feats, True)
+    vs = _neck('convt', dtype).init(jax.random.PRNGKey(0), feats, True)
 
     outs, stats = {}, {}
     for impl in ('convt', 'd2s'):
-        os.environ['MMDET3D_TPU_DECONV'] = impl
+        neck = _neck(impl, dtype)
         y, mut = neck.apply(vs, feats, True, mutable=['batch_stats'])
-        outs[impl], stats[impl] = np.asarray(y), mut['batch_stats']
-        # eval mode is bit-exact (same matmul, different placement only)
+        outs[impl], stats[impl] = np.asarray(y, np.float32), \
+            mut['batch_stats']
+        # eval mode: same matmul, different placement only
         ye = neck.apply(vs, feats, False)
-        outs[impl + '/eval'] = np.asarray(ye)
+        outs[impl + '/eval'] = np.asarray(ye, np.float32)
 
     np.testing.assert_allclose(outs['convt'], outs['d2s'],
-                               rtol=1e-5, atol=1e-5)
+                               rtol=tol, atol=tol)
     np.testing.assert_allclose(outs['convt/eval'], outs['d2s/eval'],
-                               rtol=1e-6, atol=1e-6)
+                               rtol=tol if dtype else 1e-6,
+                               atol=tol if dtype else 1e-6)
     for a, b in zip(jax.tree_util.tree_leaves(stats['convt']),
                     jax.tree_util.tree_leaves(stats['d2s'])):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=1e-6, atol=1e-8)
+                                   rtol=tol if dtype else 1e-6,
+                                   atol=tol if dtype else 1e-8)
 
 
-def test_d2s_neck_same_variable_tree(_restore_deconv_env):
-    neck = SECONDFPN(in_channels=(64, 128, 256),
-                     out_channels=(128, 128, 128),
-                     upsample_strides=(1, 2, 4))
+def test_d2s_neck_same_variable_tree():
     feats = _feats()
-    os.environ['MMDET3D_TPU_DECONV'] = 'convt'
-    va = neck.init(jax.random.PRNGKey(0), feats, True)
-    os.environ['MMDET3D_TPU_DECONV'] = 'd2s'
-    vb = neck.init(jax.random.PRNGKey(0), feats, True)
+    va = _neck('convt').init(jax.random.PRNGKey(0), feats, True)
+    vb = _neck('d2s').init(jax.random.PRNGKey(0), feats, True)
     assert (jax.tree_util.tree_structure(va)
             == jax.tree_util.tree_structure(vb))
     for a, b in zip(jax.tree_util.tree_leaves(va),
@@ -78,19 +73,14 @@ def test_d2s_neck_same_variable_tree(_restore_deconv_env):
         assert a.shape == b.shape and a.dtype == b.dtype
 
 
-def test_d2s_neck_gradients_match(_restore_deconv_env):
-    neck = SECONDFPN(in_channels=(64, 128, 256),
-                     out_channels=(128, 128, 128),
-                     upsample_strides=(1, 2, 4))
+def test_d2s_neck_gradients_match():
     feats = _feats()
-    os.environ['MMDET3D_TPU_DECONV'] = 'convt'
-    vs = neck.init(jax.random.PRNGKey(0), feats, True)
+    vs = _neck('convt').init(jax.random.PRNGKey(0), feats, True)
 
     def loss(params, impl):
-        os.environ['MMDET3D_TPU_DECONV'] = impl
-        y, _ = neck.apply({'params': params,
-                           'batch_stats': vs['batch_stats']},
-                          feats, True, mutable=['batch_stats'])
+        y, _ = _neck(impl).apply({'params': params,
+                                  'batch_stats': vs['batch_stats']},
+                                 feats, True, mutable=['batch_stats'])
         return jnp.sum(y * y)
 
     ga = jax.grad(lambda p: loss(p, 'convt'))(vs['params'])
