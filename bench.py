@@ -106,6 +106,22 @@ def _fold_overhead_flops(det, batch_size: int, train: bool = True) -> float:
     folds_on = mc.get('s2d_canvas', 'auto') != 'off'
     w2 = mc.get('fold_w2', True)
     fwd = 0.0
+    head_pad_fwd = 0.0
+    # head pack_lanes: the fused head conv pads its output channels up to
+    # 128 with structural-zero kernel columns (anchor3d_head.py) — free in
+    # HBM (72 lane-pads to 128 anyway) but counted by cost analysis
+    hc = getattr(det, 'head', None)
+    anc = getattr(det, 'anchors', None)
+    if hc is not None and anc is not None and hasattr(hc, 'num_classes'):
+        a = int(anc.shape[2] * anc.shape[3])
+        total = a * (hc.num_classes + 7 + 2)
+        pack = 128
+        if total % pack:
+            pad = pack - total % pack
+            head_cin = (mc.get('head_cfg') or {}).get('feat_channels', 384)
+            s0 = strides[0]
+            hw_head = (ny // s0) * (nx // s0) * batch_size
+            head_pad_fwd = 2.0 * hw_head * head_cin * pad
     if (folds_on and w2 and strides[0] == 1 and nx % 2 == 0 and nz == 1):
         # W-only fold (stride-1 stage 0, hard or dynamic): every stage-0
         # conv doubles nominally (18 vs 9 taps*ch at full lanes)
@@ -120,7 +136,7 @@ def _fold_overhead_flops(det, batch_size: int, train: bool = True) -> float:
         else:
             # stage0_down 2x2x4Cin = 16 vs 9
             fwd = 2.0 * hw * 7 * cin * c0
-    return fwd * (3.0 if train else 1.0)
+    return (fwd + head_pad_fwd) * (3.0 if train else 1.0)
 
 
 def _cost_flops(jitted, *args) -> float:

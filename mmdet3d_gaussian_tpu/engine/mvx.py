@@ -64,10 +64,10 @@ class MVXDetector:
                                train=False)
 
     def apply_train(self, variables, batch):
-        (cls, bbox, dirp), aux = self.trunk.apply(
+        (cls, bbox, dirp, packed), aux = self.trunk.apply(
             variables, batch['points'], batch['points_mask'], batch['img'],
             batch['lidar2img'], train=True, mutable=['batch_stats'])
-        return (cls, bbox, dirp), aux['batch_stats']
+        return (cls, bbox, dirp, packed), aux['batch_stats']
 
     def apply_eval(self, variables, batch):
         return self.trunk.apply(variables, batch['points'],
@@ -75,16 +75,17 @@ class MVXDetector:
                                 batch['lidar2img'], train=False)
 
     def loss(self, outputs, batch):
-        cls, bbox, dirp = outputs
+        cls, bbox, dirp, packed = outputs
         targets = jax.vmap(self.head.get_targets, in_axes=(None, 0, 0, 0))(
             self.anchors, batch['gt_bboxes'], batch['gt_labels'],
             batch['gt_valid'])
-        losses = self.head.loss(cls, bbox, dirp, self.anchors, targets)
+        losses = self.head.loss(cls, bbox, dirp, self.anchors,
+                                targets, packed=packed)
         total = sum(losses.values())
         return total, losses
 
     def predict(self, variables, batch):
-        cls, bbox, dirp = self.apply_eval(variables, batch)
+        cls, bbox, dirp = self.apply_eval(variables, batch)[:3]
         return jax.vmap(self.head.get_bboxes, in_axes=(0, 0, 0, None))(
             cls, bbox, dirp, self.anchors)
 

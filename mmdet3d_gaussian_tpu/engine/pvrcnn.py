@@ -238,7 +238,7 @@ class PVRCNNDetector:
         first stage (``hv_pvrcnn_secfpn_4x4_80e_kitti-3d-3class.py:105``)
         suppresses overlapping proposals across classes with a single NMS.
         """
-        cls, bbox, dirp = rpn_outs
+        cls, bbox, dirp = rpn_outs[:3]
         num = self.cfg['num_proposals']
 
         def single(c, b, d):
@@ -315,13 +315,13 @@ class PVRCNNDetector:
         losses = {}
 
         # RPN losses (anchor head)
-        cls, bbox, dirp = rpn_outs
+        cls, bbox, dirp, rpn_packed = rpn_outs
         targets = jax.vmap(self.rpn_head.get_targets,
                            in_axes=(None, 0, 0, 0))(
             self.anchors, batch['gt_bboxes'], batch['gt_labels'],
             batch['gt_valid'])
         rpn_losses = self.rpn_head.loss(cls, bbox, dirp, self.anchors,
-                                        targets)
+                                        targets, packed=rpn_packed)
         losses.update({f'rpn.{k}': v for k, v in rpn_losses.items()})
 
         # semantic segmentation loss on keypoints

@@ -63,6 +63,14 @@ class Anchor3DHeadConvs(nn.Module):
     use_direction_classifier: bool = True
     box_code_size: int = 7
     dtype: Optional[str] = None    # bf16 keeps the big neck map bf16
+    # pad the fused conv output up to a multiple of this many channels
+    # with structural-zero kernel columns.  A (B, H, W, 72) tensor already
+    # lane-pads 72 -> 128 in HBM, so emitting 128 real channels is FREE —
+    # and the flat view of an exactly-128-channel tensor is a BITCAST
+    # (same (8,128) tiling), which lets the sparse-positive loss gather
+    # rows without the ~1.4 ms/step of relayout copies the 42-channel
+    # slice+reshape paid (KITTI b4 trace, round 5).  0 disables.
+    pack_lanes: int = 128
 
     @nn.compact
     def __call__(self, x):
@@ -90,6 +98,12 @@ class Anchor3DHeadConvs(nn.Module):
             parts_b.append(b_dir)
         w = jnp.concatenate(parts_w, axis=-1)
         b = jnp.concatenate(parts_b)
+        total = int(w.shape[-1])
+        if self.pack_lanes and total % self.pack_lanes:
+            pad = self.pack_lanes - total % self.pack_lanes
+            w = jnp.concatenate(
+                [w, jnp.zeros((1, 1, cin, pad), w.dtype)], -1)
+            b = jnp.concatenate([b, jnp.zeros((pad,), b.dtype)])
         if self.dtype in ('bfloat16', jnp.bfloat16):
             x = x.astype(jnp.bfloat16)
             w = w.astype(jnp.bfloat16)
@@ -99,9 +113,11 @@ class Anchor3DHeadConvs(nn.Module):
         out = out + b.astype(out.dtype)
         cls_score = out[..., :nc]
         bbox_pred = out[..., nc:nc + nb]
-        dir_pred = (out[..., nc + nb:] if self.use_direction_classifier
-                    else None)
-        return cls_score, bbox_pred, dir_pred
+        dir_pred = (out[..., nc + nb:nc + nb + nd]
+                    if self.use_direction_classifier else None)
+        # 4th element: the packed conv output — the loss gathers positive
+        # rows from its flat view (a bitcast when channels % 128 == 0)
+        return cls_score, bbox_pred, dir_pred, out
 
 
 class AnchorTargets(NamedTuple):
@@ -265,7 +281,8 @@ class GDAnchor3DHead:
                                                   matched_gt, 0.0))
 
     # ------------------------------------------------------------------
-    def loss(self, cls_score, bbox_pred, dir_pred, anchors, targets_batched):
+    def loss(self, cls_score, bbox_pred, dir_pred, anchors, targets_batched,
+             packed=None):
         """Batched loss.
 
         cls_score: (B, H, W, S*R*C); bbox_pred: (B, H, W, S*R*7);
@@ -306,7 +323,7 @@ class GDAnchor3DHead:
 
         if targets_batched.pos_idx is not None:
             return self._loss_sparse(bbox_pred, dir_pred, targets_batched,
-                                     avg, losses)
+                                     avg, losses, packed=packed)
 
         anc_parts = tuple(jnp.asarray(anc[..., i]) for i in range(7))
         pred5 = bbox_pred.reshape(b, hh, ww, a, 7).astype(jnp.float32)
@@ -382,7 +399,8 @@ class GDAnchor3DHead:
         return losses
 
     # ------------------------------------------------------------------
-    def _loss_sparse(self, bbox_pred, dir_pred, tb, avg, losses):
+    def _loss_sparse(self, bbox_pred, dir_pred, tb, avg, losses,
+                     packed=None):
         """Regression/direction losses on K gathered positive rows.
 
         The decoded-box GD loss, sin-diff SmoothL1 and direction CE only
@@ -391,18 +409,38 @@ class GDAnchor3DHead:
         (B, A) planes — identical values whenever per-sample num_pos <= K
         (see ``tests/test_sparse_pos_loss.py``).  Component i of flat
         anchor t sits at flat position t*7 + i of the conv output (the
-        (B, H, W, A*7) -> (B, H*W*A, 7) reshape is index-preserving)."""
+        (B, H, W, A*7) -> (B, H*W*A, 7) reshape is index-preserving).
+
+        ``packed``: the fused head conv output (B, H, W, L).  When given
+        (and L % 128 == 0) the gathers run against ITS flat view — a
+        bitcast, because an exactly-128-lane minor dim tiles identically
+        to the flat layout — instead of the bbox/dir channel slices whose
+        42/12-lane flat views each materialize a relayout copy in fwd and
+        a scatter-into-copy in bwd (~1.4 ms/step at KITTI b4)."""
         b = bbox_pred.shape[0]
         idx = tb.pos_idx                                     # (B, K)
         k = idx.shape[1]
         w_pos = tb.pos_mask                                  # (B, K)
-        hwa = int(np.prod(bbox_pred.shape[1:3])) * (bbox_pred.shape[3] // 7)
+        a = bbox_pred.shape[3] // 7
+        hw = int(np.prod(bbox_pred.shape[1:3]))
+        hwa = hw * a
         # GLOBAL row indices, ascending across the whole batch (idx is
         # ascending per sample): the (M, width) row gather with
         # indices_are_sorted hits XLA's fast sorted-gather path (fwd+bwd
         # 0.25 ms at K=1024; jnp.take_along_axis lowered to a serialized
         # while loop costing ~2 ms here).
-        gidx = jnp.arange(b, dtype=idx.dtype)[:, None] * hwa + idx  # (B, K)
+        bvec = jnp.arange(b, dtype=idx.dtype)[:, None]
+        gidx = bvec * hwa + idx                              # (B, K)
+
+        use_packed = packed is not None
+        if use_packed:
+            lanes = packed.shape[-1]
+            nc = a * self.num_classes
+            nb = a * 7
+            flatp = packed.reshape(-1)
+            cell = idx // a                                  # (B, K)
+            t_in_cell = idx % a
+            cell_base = (bvec * hw + cell) * lanes
 
         def rows_of(x, width):
             # flat 1-D gather: an (M, width) row-gather view would pad
@@ -414,7 +452,17 @@ class GDAnchor3DHead:
             rows = jnp.take(x.reshape(-1), g, indices_are_sorted=True)
             return rows.reshape(b, k, width)
 
-        pred_rows = rows_of(bbox_pred, 7).astype(jnp.float32)
+        def rows_of_packed(offset, width):
+            # channel offset of anchor t's block inside the packed cell
+            # row; indices stay globally ascending (cell, t ascending)
+            base = cell_base + offset + t_in_cell * width    # (B, K)
+            g = (base[..., None]
+                 + jnp.arange(width, dtype=idx.dtype)).reshape(-1)
+            rows = jnp.take(flatp, g, indices_are_sorted=True)
+            return rows.reshape(b, k, width)
+
+        pred_rows = (rows_of_packed(nc, 7) if use_packed
+                     else rows_of(bbox_pred, 7)).astype(jnp.float32)
         pred_parts = tuple(pred_rows[..., i] for i in range(7))
         anc_parts = tuple(tb.pos_anchors[..., i] for i in range(7))
 
@@ -445,7 +493,8 @@ class GDAnchor3DHead:
         losses['loss_bbox'] = loss_bbox
 
         if self.loss_dir is not None and dir_pred is not None:
-            dir_rows = rows_of(dir_pred, 2).astype(jnp.float32)
+            dir_rows = (rows_of_packed(nc + nb, 2) if use_packed
+                        else rows_of(dir_pred, 2)).astype(jnp.float32)
             losses['loss_dir'] = self.loss_dir(
                 dir_rows, tb.pos_dir, w_pos, avg_factor=avg)
         return losses

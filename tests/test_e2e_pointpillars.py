@@ -53,7 +53,7 @@ def variables(det, batch):
 
 
 def test_forward_shapes(det, batch, variables):
-    (cls, bbox, dirp), _ = jax.jit(lambda v, b: det.apply_train(v, b))(
+    (cls, bbox, dirp, _pk), _ = jax.jit(lambda v, b: det.apply_train(v, b))(
         variables, batch)
     h, w = det.featmap_size
     assert (h, w) == (32, 32)
