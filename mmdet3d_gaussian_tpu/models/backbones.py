@@ -31,6 +31,32 @@ from ..registry import MODELS
 # on env vars); per-module override via ``SECONDFPN.deconv_impl``.
 DECONV_DEFAULT = os.environ.get('MMDET3D_TPU_DECONV', 'd2s')
 
+# 1x1-conv lowering: 'mm' flattens pixels and uses dot_general, 'conv' keeps
+# lax.conv_general_dilated.  XLA's TPU conv emitter picks batch-in-sublanes
+# layouts (EmitAllBatchInSublanes) for small-batch BEV shapes; every reshape
+# or flat-view consumer then pays a physical sublane relayout (the d2s neck's
+# reshape/transpose ops ran ~0.2-0.7 ms each at KITTI b4 — pure copies).  A
+# matmul keeps plain row-major {1,0} tiling so those reshapes are bitcasts.
+# Read once at import (jit caches don't key on env vars).
+CONV1X1_DEFAULT = os.environ.get('MMDET3D_TPU_1X1', 'mm')
+
+
+def conv1x1(x, w, impl: Optional[str] = None):
+    """1x1 'conv': (B, H, W, Cin) x (1, 1, Cin, Cout) -> (B, H, W, Cout).
+
+    impl 'mm' (default): flat (B*H*W, Cin) @ (Cin, Cout) dot_general —
+    identical math, row-major layouts.  impl 'conv': lax conv."""
+    if (impl or CONV1X1_DEFAULT) == 'mm':
+        b, h, wd, cin = x.shape
+        w2 = w.reshape(w.shape[-2], w.shape[-1])
+        y = jax.lax.dot_general(x.reshape(b * h * wd, cin), w2,
+                                (((1,), (0,)), ((), ())),
+                                preferred_element_type=x.dtype)
+        return y.reshape(b, h, wd, w.shape[-1])
+    return jax.lax.conv_general_dilated(
+        x, w, window_strides=(1, 1), padding='VALID',
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+
 
 def fold_s2d_kernel(w):
     """Fold a (3, 3, Cin, Cout) stride-2 kernel for a space-to-depth input.
@@ -337,9 +363,7 @@ class SECONDFPN(nn.Module):
                 if self.dtype is not None:
                     w1 = w1.astype(self.dtype)
                     x = x.astype(self.dtype)
-                y = jax.lax.conv_general_dilated(
-                    x, w1, window_strides=(1, 1), padding='VALID',
-                    dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+                y = conv1x1(x, w1)
                 y = FastBatchNorm(use_running_average=not train,
                                   momentum=0.99, epsilon=1e-3,
                                   axis_name=self.axis_name,
@@ -355,6 +379,14 @@ class SECONDFPN(nn.Module):
                 x = nn.ConvTranspose(ch, (s, s), strides=(s, s),
                                      use_bias=False, dtype=self.dtype,
                                      name=f'deblock{i}_conv')(x)
+            elif max(1, int(round(1 / s))) == 1:
+                # stride-1 level: 1x1 conv lowered as a matmul (layout)
+                wk = _DeconvKernelParam(x.shape[-1], ch, 1,
+                                        name=f'deblock{i}_conv')()
+                if self.dtype is not None:
+                    wk = wk.astype(self.dtype)
+                    x = x.astype(self.dtype)
+                x = conv1x1(x, wk)
             else:
                 k = max(1, int(round(1 / s)))
                 x = nn.Conv(ch, (k, k), strides=(k, k), use_bias=False,

@@ -107,9 +107,8 @@ class Anchor3DHeadConvs(nn.Module):
         if self.dtype in ('bfloat16', jnp.bfloat16):
             x = x.astype(jnp.bfloat16)
             w = w.astype(jnp.bfloat16)
-        out = jax.lax.conv_general_dilated(
-            x, w.astype(x.dtype), window_strides=(1, 1), padding='VALID',
-            dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+        from ..backbones import conv1x1
+        out = conv1x1(x, w.astype(x.dtype))
         out = out + b.astype(out.dtype)
         cls_score = out[..., :nc]
         bbox_pred = out[..., nc:nc + nb]

@@ -224,12 +224,24 @@ def bev_scatter_s2d(voxel_feats, coords_s2d, batch_size: int,
     valid = ((vb >= 0) & (vb < batch_size) & (vcx >= 0) & (vcx < nx2)
              & (vcy >= 0) & (vcy < ny2))
     ncell = batch_size * ny2 * nx2
-    lin = jnp.where(valid, (vb * ny2 + vcy) * nx2 + vcx, ncell)
     c = voxel_feats.shape[-1]
-    feats4 = jnp.concatenate(
-        [jnp.where((vpar == k)[:, None], voxel_feats, 0) for k in range(4)],
-        axis=1)
-    canvas = _splat(feats4, lin, ncell, indices_sorted)
+    # Sub-cell splat at 128-lane rows: rows are sorted by (cell, parity) —
+    # see the caller's s2d key (models/detectors/voxelnet.py, parity
+    # minor) — so splatting 2C-wide parity-PAIR rows at id cell*2 +
+    # parity//2 into ncell*2 sub-rows is sorted too, and the
+    # (ncell*2, 2C) -> (ncell, 4C) reshape is a row-major bitcast that
+    # reproduces the parity-major channel blocks.  vs the 4x-masked
+    # (V, 4C) concat: half the select/concat traffic and the backward
+    # fill-gather reads 2C-wide rows.  (The full cell*4+parity split at
+    # C=64-wide rows was measured WORSE — 64-lane minor pads to 128, so
+    # the sub-canvas paid 2x HBM; 2C=128 keeps full lanes.)
+    lin2 = jnp.where(valid, ((vb * ny2 + vcy) * nx2 + vcx) * 2 + vpar // 2,
+                     ncell * 2)
+    lo = (vpar & 1) == 0
+    feats2 = jnp.concatenate(
+        [jnp.where(lo[:, None], voxel_feats, 0),
+         jnp.where(lo[:, None], 0, voxel_feats)], axis=1)
+    canvas = _splat(feats2, lin2, ncell * 2, indices_sorted)
     return canvas.reshape(batch_size, ny2, nx2, 4 * c)
 
 

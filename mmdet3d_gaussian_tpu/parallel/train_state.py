@@ -12,6 +12,7 @@ one-cycle LR; optional per-param-kind warmup multipliers reproducing
 """
 from __future__ import annotations
 
+import os
 from typing import Any, Callable, Dict, NamedTuple, Optional
 
 import jax
@@ -70,7 +71,38 @@ def make_optimizer(base_lr: float, total_steps: int,
                                 lambda p: _mask_tree(p, False)))
         txs.append(optax.masked(optax.scale_by_schedule(b_mult),
                                 lambda p: _mask_tree(p, True)))
+        # masked() keys on the param TREE; keep the per-leaf layout
+        return optax.chain(*txs)
+    if os.environ.get('MMDET3D_TPU_FLAT_OPT', '0') == '1':
+        return flatten_space(optax.chain(*txs))
     return optax.chain(*txs)
+
+
+def flatten_space(tx: optax.GradientTransformation
+                  ) -> optax.GradientTransformation:
+    """Run ``tx`` on ONE flat f32 vector instead of ~90 per-leaf tensors.
+
+    MEASURED NEGATIVE on v5e (KITTI b4 bf16): per-leaf AdamW shows an
+    0.81 ms apply_updates fusion, but raveling grads to a flat (P,)
+    vector adds ~0.8 ms of relayout copies (conv-layout grad leaves ->
+    row-major flat and back), netting 23.08 vs 22.94 ms/step.  Kept
+    behind MMDET3D_TPU_FLAT_OPT=1 for re-evaluation if grad layouts
+    change; the opt_state becomes flat-vector shaped (checkpoints tied
+    to the factory as documented in ``make_optimizer_from_cfg``).
+    """
+    from jax.flatten_util import ravel_pytree
+
+    def init(params):
+        flat, _ = ravel_pytree(params)
+        return tx.init(flat)
+
+    def update(grads, state, params=None):
+        gflat, unravel = ravel_pytree(grads)
+        pflat = ravel_pytree(params)[0] if params is not None else None
+        uflat, new_state = tx.update(gflat, state, pflat)
+        return unravel(uflat), new_state
+
+    return optax.GradientTransformation(init, update)
 
 
 def make_lr_schedule_from_cfg(cfg, total_steps: int,
