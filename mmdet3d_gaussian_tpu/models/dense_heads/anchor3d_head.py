@@ -436,10 +436,21 @@ class GDAnchor3DHead:
             lanes = packed.shape[-1]
             nc = a * self.num_classes
             nb = a * 7
-            flatp = packed.reshape(-1)
             cell = idx // a                                  # (B, K)
             t_in_cell = idx % a
-            cell_base = (bvec * hw + cell) * lanes
+            # ONE 128-lane ROW gather of each positive's canvas cell (the
+            # (B*HW, lanes) view of the packed conv output is a bitcast at
+            # lanes % 128 == 0), then the anchor block is extracted with a
+            # one-hot contraction over the a=anchors-per-cell axis — tiny
+            # (BK, a, width) registers-level math.  Row gathers vectorize
+            # over lanes; the per-ELEMENT flat gather this replaces
+            # serialized ~15 ns/element (0.53 ms fwd + 0.47 ms scatter bwd
+            # at K=1024, B=4 on v5e).
+            row_idx = (bvec * hw + cell).reshape(-1)         # (BK,) ascending
+            cell_rows = jnp.take(packed.reshape(-1, lanes), row_idx,
+                                 axis=0, indices_are_sorted=True)
+            sel = jax.nn.one_hot(t_in_cell.reshape(-1), a,
+                                 dtype=cell_rows.dtype)      # (BK, a)
 
         def rows_of(x, width):
             # flat 1-D gather: an (M, width) row-gather view would pad
@@ -452,13 +463,10 @@ class GDAnchor3DHead:
             return rows.reshape(b, k, width)
 
         def rows_of_packed(offset, width):
-            # channel offset of anchor t's block inside the packed cell
-            # row; indices stay globally ascending (cell, t ascending)
-            base = cell_base + offset + t_in_cell * width    # (B, K)
-            g = (base[..., None]
-                 + jnp.arange(width, dtype=idx.dtype)).reshape(-1)
-            rows = jnp.take(flatp, g, indices_are_sorted=True)
-            return rows.reshape(b, k, width)
+            blk = cell_rows[:, offset:offset + a * width]
+            blk = blk.reshape(-1, a, width)                  # (BK, a, w)
+            out = jnp.einsum('na,naw->nw', sel, blk)
+            return out.reshape(b, k, width)
 
         pred_rows = (rows_of_packed(nc, 7) if use_packed
                      else rows_of(bbox_pred, 7)).astype(jnp.float32)
