@@ -129,13 +129,21 @@ def nearest_bev(boxes):
 
 
 def iou_aligned_2d(boxes1, boxes2, eps: float = 1e-6, mode: str = 'iou'):
-    """Pairwise IoU of axis-aligned (x1,y1,x2,y2) boxes: (N,4)x(M,4)->(N,M)."""
+    """Pairwise IoU of axis-aligned (x1,y1,x2,y2) boxes: (N,4)x(M,4)->(N,M).
+
+    Per-axis planes, not a stacked (N, M, 2) min/max: the stacked form
+    materializes 2x-sized intermediates with a 2-lane minor dim (lane-pads
+    128/2 = 64x in batched-assigner use — (B, G, A, 2) f32 tensors were
+    ~0.25 ms/pass each at KITTI b4); the per-axis expressions fuse into
+    the consuming reductions.
+    """
     area1 = ((boxes1[:, 2] - boxes1[:, 0]) * (boxes1[:, 3] - boxes1[:, 1]))
     area2 = ((boxes2[:, 2] - boxes2[:, 0]) * (boxes2[:, 3] - boxes2[:, 1]))
-    lt = jnp.maximum(boxes1[:, None, :2], boxes2[None, :, :2])
-    rb = jnp.minimum(boxes1[:, None, 2:], boxes2[None, :, 2:])
-    wh = jnp.clip(rb - lt, 0)
-    inter = wh[..., 0] * wh[..., 1]
+    ix = (jnp.minimum(boxes1[:, None, 2], boxes2[None, :, 2])
+          - jnp.maximum(boxes1[:, None, 0], boxes2[None, :, 0]))
+    iy = (jnp.minimum(boxes1[:, None, 3], boxes2[None, :, 3])
+          - jnp.maximum(boxes1[:, None, 1], boxes2[None, :, 1]))
+    inter = jnp.clip(ix, 0) * jnp.clip(iy, 0)
     if mode == 'iou':
         denom = area1[:, None] + area2[None, :] - inter
     elif mode == 'iof':

@@ -342,6 +342,10 @@ class SECONDFPN(nn.Module):
     # (MMDET3D_TPU_DECONV).  An explicit field so the lowering is part of
     # module config — jit caches key on it (advisor r4 finding).
     deconv_impl: Optional[str] = None
+    # False -> return the branch list instead of the channel concat; a
+    # 1x1 consumer (Anchor3DHeadConvs) then sums per-branch matmuls and
+    # the (B, H, W, sum(C)) concat never materializes
+    concat_out: bool = True
 
     @nn.compact
     def __call__(self, feats, train: bool = False):
@@ -395,4 +399,6 @@ class SECONDFPN(nn.Module):
                               epsilon=1e-3, axis_name=self.axis_name,
                               dtype=self.dtype, name=f'deblock{i}_bn')(x)
             outs.append(nn.relu(x))
+        if not self.concat_out:
+            return tuple(outs)
         return jnp.concatenate(outs, axis=-1)

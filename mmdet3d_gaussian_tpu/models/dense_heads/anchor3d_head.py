@@ -79,7 +79,12 @@ class Anchor3DHeadConvs(nn.Module):
         nc = self.num_anchors * self.num_classes
         nb = self.num_anchors * self.box_code_size
         nd = self.num_anchors * 2
-        cin = x.shape[-1]
+        # A list/tuple input = the UNCONCATENATED neck branches
+        # (SECONDFPN(concat_out=False)): the 1x1 head commutes with the
+        # channel concat, so summing per-branch matmuls skips the big
+        # (B, H, W, sum(C)) concat materialization fwd + split bwd.
+        branches = x if isinstance(x, (list, tuple)) else (x,)
+        cin = sum(int(xi.shape[-1]) for xi in branches)
         # Parameters stay three separate 1x1 convs (same tree as nn.Conv:
         # conv_cls/{kernel,bias} etc., checkpoint / reference-transplant
         # compatible) but the COMPUTE is one fused conv: three convs with
@@ -105,10 +110,17 @@ class Anchor3DHeadConvs(nn.Module):
                 [w, jnp.zeros((1, 1, cin, pad), w.dtype)], -1)
             b = jnp.concatenate([b, jnp.zeros((pad,), b.dtype)])
         if self.dtype in ('bfloat16', jnp.bfloat16):
-            x = x.astype(jnp.bfloat16)
+            branches = tuple(xi.astype(jnp.bfloat16) for xi in branches)
             w = w.astype(jnp.bfloat16)
         from ..backbones import conv1x1
-        out = conv1x1(x, w.astype(x.dtype))
+        w = w.astype(branches[0].dtype)
+        out = None
+        off = 0
+        for xi in branches:
+            ci = int(xi.shape[-1])
+            yi = conv1x1(xi, w[:, :, off:off + ci, :])
+            out = yi if out is None else out + yi
+            off += ci
         out = out + b.astype(out.dtype)
         cls_score = out[..., :nc]
         bbox_pred = out[..., nc:nc + nb]
@@ -309,7 +321,9 @@ class GDAnchor3DHead:
         # the component split happens at trace time, free.
         anc = np.asarray(anchors).reshape(hh, wa, 7)
 
-        cls_score = cls_score.reshape(b, hh, ww, a, c).astype(jnp.float32)
+        # no f32 cast here: sigmoid_focal_loss casts inside its fusion, so
+        # the bf16 logits plane is read at half the HBM bytes
+        cls_score = cls_score.reshape(b, hh, ww, a, c)
         labels = targets_batched.labels.reshape(b, hh, ww, a)
         label_weights = targets_batched.label_weights.reshape(b, hh, ww, a)
 

@@ -260,8 +260,13 @@ class PointPillarsNet(nn.Module):
                           fold_w2=use_s2d and self.fold_w2 and nx % 4 == 0,
                           input_wfold=use_wf,
                           name='backbone', **(self.backbone_cfg or {}))
+        neck_kw = dict(self.neck_cfg or {})
+        if self.head_type != 'center':
+            # anchor head is a pure 1x1 conv — consume the branch list and
+            # skip the neck concat (see SECONDFPN.concat_out)
+            neck_kw.setdefault('concat_out', False)
         neck = SECONDFPN(axis_name=self.axis_name, dtype=dt, name='neck',
-                         **(self.neck_cfg or {}))
+                         **neck_kw)
         feats = neck(backbone(canvas, train=train), train=train)
 
         if self.head_type == 'center':

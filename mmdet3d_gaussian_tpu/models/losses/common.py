@@ -20,14 +20,17 @@ from .gaussian import weight_reduce_loss
 def sigmoid_focal_loss(pred, target_onehot, gamma=2.0, alpha=0.25):
     """Elementwise sigmoid focal loss over (N, C) logits.
 
-    ``target_onehot`` is {0,1} per class (background = all-zero row).
+    ``target_onehot`` is {0,1} per class (background = all-zero row); a
+    BOOL mask is accepted (and cheapest — no f32 one-hot plane).
     """
+    pos = target_onehot > 0 if target_onehot.dtype != jnp.bool_ \
+        else target_onehot
+    pred = pred.astype(jnp.float32)
     p = jax.nn.sigmoid(pred)
-    pt = jnp.where(target_onehot > 0, 1.0 - p, p)
-    alpha_t = jnp.where(target_onehot > 0, alpha, 1.0 - alpha)
+    pt = jnp.where(pos, 1.0 - p, p)
+    alpha_t = jnp.where(pos, alpha, 1.0 - alpha)
     # log-sigmoid for numerical stability
-    ce = jnp.where(target_onehot > 0,
-                   -jax.nn.log_sigmoid(pred),
+    ce = jnp.where(pos, -jax.nn.log_sigmoid(pred),
                    -jax.nn.log_sigmoid(-pred))
     return alpha_t * (pt ** gamma) * ce
 
@@ -44,10 +47,18 @@ class FocalLoss:
         """pred: (N, C) logits; target: (N,) int labels in [0, C] where C
         (== num_classes) means background — mmdet convention."""
         num_classes = pred.shape[-1]
-        onehot = jax.nn.one_hot(target, num_classes + 1,
-                                dtype=pred.dtype)[..., :num_classes]
-        loss = sigmoid_focal_loss(pred, onehot, self.gamma, self.alpha)
+        # bool class mask, not an f32 one-hot plane: background (label ==
+        # C) matches no class, and the mask plane is 4x smaller in HBM
+        pos = target[..., None] == jnp.arange(num_classes,
+                                              dtype=target.dtype)
+        loss = sigmoid_focal_loss(pred, pos, self.gamma, self.alpha)
         if weight is not None and weight.ndim == loss.ndim - 1:
+            if avg_factor is not None:
+                # sum classes BEFORE the weight multiply: the weighted
+                # plane is C-x smaller, same value (weight broadcasts
+                # over classes and the reduction sums everything)
+                return self.loss_weight * weight_reduce_loss(
+                    jnp.sum(loss, -1), weight, self.reduction, avg_factor)
             weight = weight[..., None]
         return self.loss_weight * weight_reduce_loss(
             loss, weight, self.reduction, avg_factor)
