@@ -92,6 +92,128 @@ def _splat_kernel(starts_ref, aug_hbm, out_ref, buf, sems, *, c: int):
             out_ref.dtype)
 
 
+def _count_below(lin, ng: int, tr: int):
+    """starts[g] = #rows with lin < g*tr — vectorized compare-count
+    (equivalent to sorted searchsorted 'left' since lin is sorted)."""
+    grid = jnp.arange(ng, dtype=jnp.int32) * tr
+    return jnp.sum(lin[None, :] < grid[:, None], axis=1,
+                   dtype=jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# Parity-pair variant: C-wide source rows -> 2C-wide paired canvas rows.
+# Two sorted source rows (parities 0/1) may share one output row, landing in
+# disjoint lane halves — the s2d sub-cell layout of ops/voxelize.py::
+# bev_scatter_s2d.  Window must cover up to 2*TR source rows per TR output
+# rows (two parities per cell).
+_TRP = 512            # output pair-rows per grid step
+_WP = 2 * _TRP + _ALIGN
+
+
+def _splat_pairs_kernel(starts_ref, aug_hbm, out_ref, buf, sems, *, c: int):
+    g = pl.program_id(0)
+    ng = pl.num_programs(0)
+
+    def dma(slot, blk):
+        s = starts_ref[blk] * _ALIGN
+        return pltpu.make_async_copy(aug_hbm.at[pl.ds(s, _WP), :],
+                                     buf.at[slot], sems.at[slot])
+
+    @pl.when(g == 0)
+    def _():
+        dma(0, 0).start()
+
+    @pl.when(g + 1 < ng)
+    def _():
+        dma((g + 1) % 2, g + 1).start()
+
+    slot = g % 2
+    dma(slot, g).wait()
+
+    window = buf[slot]                                   # (WP, 128)
+    ids = (window[:, c:c + 1].astype(jnp.float32) * 65536.0
+           + window[:, c + 1:c + 2].astype(jnp.float32) * 256.0
+           + window[:, c + 2:c + 3].astype(jnp.float32))
+    par = window[:, c + 3:c + 4].astype(jnp.float32)     # 0.0 lo / 1.0 hi
+    base = (g * _TRP).astype(jnp.float32)
+    relb = jnp.broadcast_to(ids - base, (_WP, _LANES))
+    parb = jnp.broadcast_to(par, (_WP, _LANES))
+    lane = jax.lax.broadcasted_iota(
+        jnp.int32, (_WP, _LANES), 1).astype(jnp.float32)
+    lo_b = parb == 0.0
+    hi_b = parb == 1.0
+    for k in range(_TRP // _LANES):
+        hit = relb == lane + (k * _LANES)
+        oh_lo = (hit & lo_b).astype(window.dtype)
+        oh_hi = (hit & hi_b).astype(window.dtype)
+        acc_lo = jax.lax.dot_general(
+            oh_lo, window, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)          # (LANES, 128)
+        acc_hi = jax.lax.dot_general(
+            oh_hi, window, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        out_ref[k * _LANES:(k + 1) * _LANES, :c] = acc_lo[:, :c].astype(
+            out_ref.dtype)
+        out_ref[k * _LANES:(k + 1) * _LANES, c:] = acc_hi[:, :c].astype(
+            out_ref.dtype)
+
+
+@partial(jax.jit, static_argnums=(3, 4, 5))
+def bev_splat_pairs_pallas(feats, lin2, par, ncell2: int, out_dtype=None,
+                           interpret: bool = False):
+    """Splat sorted C-wide rows into a (ncell2, 2C) paired canvas.
+
+    Args:
+        feats: (V, C) rows, C <= 124 - 1 (one lane goes to the parity bit).
+        lin2: (V,) int32 paired-cell ids, sorted non-decreasing; up to TWO
+            rows share an id (one per parity); invalid rows hold a
+            sentinel >= ncell2 (sorted last).
+        par: (V,) int32 in {0, 1} — lane half of each row (0 -> [0, C),
+            1 -> [C, 2C)).
+        ncell2: static paired-cell count (< 2^24).
+    Returns (ncell2, 2C) canvas (bf16 by default; see module precision
+    contract — both halves of a pair are pure placements, the matmul only
+    ever sums disjoint-lane contributions).
+    """
+    v, c = feats.shape
+    if (c > _LANES - 4 or 2 * c > _LANES or v < _WP or v % _ALIGN
+            or ncell2 >= (1 << 24)):
+        raise ValueError(f'unsupported pair-splat V={v} C={c} {ncell2}')
+    out_dtype = out_dtype or jnp.bfloat16
+    pack_dtype = jnp.bfloat16 if out_dtype == jnp.bfloat16 else jnp.float32
+    ng = -(-ncell2 // _TRP)
+    # first row with lin2 >= g*TRP by compare-count, NOT jnp.searchsorted
+    # (which lowers to a serialized while loop on TPU — measured +2.7
+    # ms/step at KITTI b4 when this path went live)
+    starts = _count_below(lin2, ng, _TRP)
+    starts = jnp.minimum(starts // _ALIGN, (v - _WP) // _ALIGN)
+
+    digits = jnp.stack([lin2 // 65536, (lin2 // 256) % 256, lin2 % 256],
+                       axis=1).astype(pack_dtype)
+    aug = jnp.concatenate([
+        feats.astype(pack_dtype), digits,
+        par[:, None].astype(pack_dtype),
+        jnp.zeros((v, _LANES - c - 4), pack_dtype)], axis=1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(ng,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
+        out_specs=pl.BlockSpec((_TRP, 2 * c), lambda g, starts: (g, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, _WP, _LANES), pack_dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out = pl.pallas_call(
+        partial(_splat_pairs_kernel, c=c),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((ng * _TRP, 2 * c), out_dtype),
+        interpret=interpret,
+    )(starts, aug)
+    return out[:ncell2]
+
+
 @partial(jax.jit, static_argnums=(2, 3, 4))
 def bev_splat_pallas(feats, lin, ncell: int, out_dtype=None,
                      interpret: bool = False):
@@ -116,10 +238,9 @@ def bev_splat_pallas(feats, lin, ncell: int, out_dtype=None,
     # down to the DMA sublane granularity and clamped so the fixed-size
     # window stays in bounds (rows pulled in early by the align/clamp have
     # rel < 0 / >= TR and never match the iota).
-    starts = jnp.searchsorted(
-        lin, jnp.arange(ng, dtype=jnp.int32) * _TR, side='left')
-    starts = jnp.minimum(starts.astype(jnp.int32) // _ALIGN,
-                         (v - _W) // _ALIGN)   # in units of _ALIGN
+    starts = _count_below(lin, ng, _TR)        # see pairs variant: NOT
+    starts = jnp.minimum(starts // _ALIGN,     # jnp.searchsorted (serial
+                         (v - _W) // _ALIGN)   # while loop); ALIGN units
 
     digits = jnp.stack([lin // 65536, (lin // 256) % 256, lin % 256],
                        axis=1).astype(pack_dtype)        # exact: ints < 256

@@ -90,3 +90,75 @@ def test_bev_scatter_values_and_grad_dtype():
         bev_scatter(f, jnp.asarray(coords), b, nx, ny, True) ** 2))
     g = gfun(jnp.asarray(feats))
     assert g.dtype == jnp.float32 and bool(jnp.isfinite(g).all())
+
+
+# ---------------------------------------------------------------------------
+# Parity-pair splat (s2d sub-cell layout): kernel + custom VJP
+
+
+def _pairs_case(ncell2=2048, v=2048, c=60, npairs=300, nsingle=200, seed=0):
+    """Sorted rows where some paired cells receive BOTH parities."""
+    rng = np.random.RandomState(seed)
+    cells = np.sort(rng.choice(ncell2, npairs + nsingle, replace=False))
+    rows = []
+    for i, cell in enumerate(cells):
+        if i < npairs:
+            rows += [(cell, 0), (cell, 1)]
+        else:
+            rows.append((cell, rng.randint(2)))
+    rows = rows[:v]
+    lin2 = np.full(v, ncell2, np.int32)
+    par = np.zeros(v, np.int32)
+    for i, (cell, p) in enumerate(rows):
+        lin2[i], par[i] = cell, p
+    order = np.argsort(lin2 * 2 + par, kind='stable')
+    lin2, par = lin2[order], par[order]
+    feats = rng.randn(v, c).astype(np.float32)
+    exp = np.zeros((ncell2, 2 * c), np.float32)
+    for i in range(v):
+        if lin2[i] < ncell2:
+            off = par[i] * c
+            exp[lin2[i], off:off + c] += feats[i]
+    return (jnp.asarray(feats), jnp.asarray(lin2), jnp.asarray(par), exp)
+
+
+def test_pallas_pairs_splat_interpret():
+    from mmdet3d_gaussian_tpu.ops.pallas.bev_splat_kernel import (
+        bev_splat_pairs_pallas)
+    feats, lin2, par, exp = _pairs_case()
+    out = bev_splat_pairs_pallas(feats, lin2, par, exp.shape[0],
+                                 jnp.float32, True)
+    np.testing.assert_allclose(np.asarray(out), exp, rtol=0, atol=0)
+
+
+def test_pallas_pairs_splat_nondivisible():
+    from mmdet3d_gaussian_tpu.ops.pallas.bev_splat_kernel import (
+        bev_splat_pairs_pallas)
+    feats, lin2, par, exp = _pairs_case(ncell2=2048 + 100, seed=2)
+    out = bev_splat_pairs_pallas(feats, lin2, par, exp.shape[0],
+                                 jnp.float32, True)
+    np.testing.assert_allclose(np.asarray(out), exp, rtol=0, atol=0)
+
+
+def test_splat_pairs_custom_vjp_matches_dense_oracle():
+    from mmdet3d_gaussian_tpu.ops.voxelize import _splat_pairs
+    feats, lin2, par, exp = _pairs_case(ncell2=1024, v=2048, c=8,
+                                        npairs=150, nsingle=100, seed=3)
+    w = jnp.asarray(np.random.RandomState(3).randn(*exp.shape)
+                    .astype(np.float32))
+
+    def loss(f):
+        return jnp.sum(_splat_pairs(f, lin2, par, exp.shape[0], True) * w)
+
+    out = _splat_pairs(feats, lin2, par, exp.shape[0], True)
+    np.testing.assert_allclose(np.asarray(out), exp, rtol=0, atol=1e-5)
+    g = jax.grad(loss)(feats)
+    # d feats[i] = w[lin2[i], par[i]*c : +c] for valid rows else 0
+    wnp = np.asarray(w)
+    gexp = np.zeros_like(np.asarray(feats))
+    lin2n, parn = np.asarray(lin2), np.asarray(par)
+    for i in range(feats.shape[0]):
+        if lin2n[i] < exp.shape[0]:
+            off = parn[i] * feats.shape[1]
+            gexp[i] = wnp[lin2n[i], off:off + feats.shape[1]]
+    np.testing.assert_allclose(np.asarray(g), gexp, rtol=1e-6, atol=1e-6)
