@@ -245,9 +245,22 @@ class PointPillarsNet(nn.Module):
         # gradient + its conv-layout relayout copy halve too.
         if dt is not None:
             pillar_feats = pillar_feats.astype(dt)
+        chunk_h = 1
         if use_wf:
             canvas = bev_scatter_wfold(pillar_feats, coords_v, b,
                                        nx // 2, ny, indices_sorted=True)
+            # H-chunk stage 0 into the batch dim: the conv emitter packs
+            # batch into the 8 sublanes, so at B=2 the stage-0 convs use
+            # 1/4 of the MXU width (65 vs 210 TFLOP/s measured on v5e).
+            # The chunk split is a pure bitcast of the splat's flat
+            # raster; halo rows are exchanged per conv (backbones.py).
+            for k in (4, 2):
+                if ny % k == 0 and b * k <= 8:
+                    chunk_h = k
+                    break
+            if chunk_h > 1:
+                canvas = canvas.reshape(b * chunk_h, ny // chunk_h,
+                                        nx // 2, canvas.shape[-1])
         elif use_s2d:
             canvas = bev_scatter_s2d(pillar_feats, coords_v, b,
                                      nx // 2, ny // 2, indices_sorted=True)
@@ -258,7 +271,7 @@ class PointPillarsNet(nn.Module):
         backbone = SECOND(axis_name=self.axis_name, dtype=dt,
                           input_s2d=use_s2d,
                           fold_w2=use_s2d and self.fold_w2 and nx % 4 == 0,
-                          input_wfold=use_wf,
+                          input_wfold=use_wf, chunk_h=chunk_h,
                           name='backbone', **(self.backbone_cfg or {}))
         neck_kw = dict(self.neck_cfg or {})
         if self.head_type != 'center':

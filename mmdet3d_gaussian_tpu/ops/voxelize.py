@@ -65,6 +65,10 @@ def hard_voxelize(points, coords, spatial_shape: Sequence[int],
     # voxels[v, p] = pts_sorted[starts[v] + p] for p < count_v: a GATHER
     # with globally ASCENDING indices (clamp empty slots to the voxel's
     # last member, mask after), which hits XLA's fast sorted-gather path.
+    # (A single windowed gather of V (P, C) blocks — lax.gather with
+    # slice_sizes=(P, C) — would cut the row count 20x but lowers to a
+    # fully SERIALIZED slice loop on TPU: measured 87.6 ms of voxelize at
+    # Waymo b2 vs 9.3 ms for this per-slot row-gather form.)
     pts_sorted = jnp.take(points, order, axis=0)         # (N, C) row gather
     slot = jnp.arange(max_points, dtype=jnp.int32)[None, :]
     last = jnp.maximum(num_points[:, None] - 1, 0)
