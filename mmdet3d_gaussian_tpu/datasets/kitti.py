@@ -90,6 +90,8 @@ class KittiDataset:
         attrs = {}
         if 'difficulty' in sub:
             attrs['difficulty'] = sub['difficulty']
+        if 'num_points_in_gt' in sub:
+            attrs['num_points_in_gt'] = sub['num_points_in_gt']
         return dict(gt_bboxes=boxes, gt_labels=labels, gt_attrs=attrs)
 
     def _pts_path(self, info) -> str:

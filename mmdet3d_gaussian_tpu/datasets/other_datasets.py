@@ -36,7 +36,17 @@ class WaymoDataset(KittiDataset):
             self.data_infos = SharedList(list(self.data_infos))
 
     def evaluate(self, results, metric='waymo', logger=None, **kwargs):
+        """'waymo' = the official Waymo OD protocol rebuilt natively
+        (mAP/mAPH at LEVEL_1/LEVEL_2, Hungarian matching, per-class 3D-IoU
+        thresholds 0.7/0.5/0.5 — ``core/evaluation/waymo_metrics.py``; the
+        reference reaches the same protocol through upstream mmdet3d's
+        waymo-open-dataset binding).  'cowa' = flexible IoU3D mAP with a
+        range breakdown (secondary diagnostic)."""
         annotations = [self.get_ann_info(i) for i in range(len(self))]
+        if metric in ('waymo', ['waymo']):
+            from ..core.evaluation.waymo_metrics import eval_waymo
+            return eval_waymo(results, annotations,
+                              classes=list(self.CLASSES), logger=logger)
         return eval_map_flexible(
             results, annotations, match_thrs=[0.7, 0.5],
             affinity_calculator=dict(type='LidarIOU3D', z_offset=0.5),
