@@ -42,6 +42,26 @@ DECONV_DEFAULT = os.environ.get('MMDET3D_TPU_DECONV', 'd2s')
 CONV1X1_DEFAULT = os.environ.get('MMDET3D_TPU_1X1', 'mm')
 
 
+def deconv_kernel_as_1x1(kern):
+    """(s, s, cin, ch) ConvTranspose(k=s, stride=s) kernel -> the exact
+    equivalent (1, 1, cin, s*s*ch) kernel for conv1x1 + depth_to_space.
+
+    flax ConvTranspose(k=s, stride=s) places K[r, q] at output offset
+    (s-1-r, s-1-q) of each s x s block (kernel spatially flipped) — no tap
+    overlap, so each input pixel independently emits an s x s block."""
+    s, _, cin, ch = kern.shape
+    kf = kern[::-1, ::-1]
+    return kf.transpose(2, 0, 1, 3).reshape(1, 1, cin, s * s * ch)
+
+
+def depth_to_space(y, s: int, ch: int):
+    """(B, H, W, s*s*ch) block-major channels -> (B, H*s, W*s, ch)."""
+    b, hh, ww, _ = y.shape
+    y = y.reshape(b, hh, ww, s, s, ch)
+    y = y.transpose(0, 1, 3, 2, 4, 5)
+    return y.reshape(b, hh * s, ww * s, ch)
+
+
 def conv1x1(x, w, impl: Optional[str] = None):
     """1x1 'conv': (B, H, W, Cin) x (1, 1, Cin, Cout) -> (B, H, W, Cout).
 
@@ -432,13 +452,7 @@ class SECONDFPN(nn.Module):
                 cin = x.shape[-1]
                 kern = _DeconvKernelParam(cin, ch, s,
                                           name=f'deblock{i}_conv')()
-                # flax ConvTranspose(k=s, stride=s) places K[r, q] at
-                # output offset (s-1-r, s-1-q) of each s x s block
-                # (kernel spatially flipped) — fold that placement into
-                # a 1x1 conv producing (r*s+q)-major channel groups.
-                kf = kern[::-1, ::-1]
-                w1 = kf.transpose(2, 0, 1, 3).reshape(1, 1, cin,
-                                                      s * s * ch)
+                w1 = deconv_kernel_as_1x1(kern)
                 if self.dtype is not None:
                     w1 = w1.astype(self.dtype)
                     x = x.astype(self.dtype)
@@ -449,10 +463,7 @@ class SECONDFPN(nn.Module):
                                   dtype=self.dtype, channel_fold=s * s,
                                   name=f'deblock{i}_bn')(y)
                 y = nn.relu(y)
-                b, hh, ww, _ = y.shape
-                y = y.reshape(b, hh, ww, s, s, ch)
-                y = y.transpose(0, 1, 3, 2, 4, 5)
-                outs.append(y.reshape(b, hh * s, ww * s, ch))
+                outs.append(depth_to_space(y, s, ch))
                 continue
             if s > 1:
                 x = nn.ConvTranspose(ch, (s, s), strides=(s, s),

@@ -134,10 +134,19 @@ class SingleViewNet(nn.Module):
                             name='res2')(canvas, train)
         out3 = BasicBlock2D(fc, stride=2, axis_name=self.axis_name,
                             name='res3')(out2, train)
-        out2 = nn.ConvTranspose(fc, (2, 2), strides=(2, 2), use_bias=False,
-                                name='deconv2')(out2)
-        out3 = nn.ConvTranspose(fc, (4, 4), strides=(4, 4), use_bias=False,
-                                name='deconv3')(out3)
+        # ConvTranspose(k=s, stride=s) lowered as 1x1 conv + depth-to-space
+        # (exact; the input-dilated ConvTranspose lowering is the expensive
+        # form on TPU, especially in backward — see SECONDFPN d2s notes)
+        from .backbones import (_DeconvKernelParam, conv1x1,
+                                deconv_kernel_as_1x1, depth_to_space)
+        k2 = _DeconvKernelParam(out2.shape[-1], fc, 2, name='deconv2')()
+        out2 = depth_to_space(
+            conv1x1(out2, deconv_kernel_as_1x1(k2).astype(out2.dtype)),
+            2, fc)
+        k3 = _DeconvKernelParam(out3.shape[-1], fc, 4, name='deconv3')()
+        out3 = depth_to_space(
+            conv1x1(out3, deconv_kernel_as_1x1(k3).astype(out3.dtype)),
+            4, fc)
         # crop deconv outputs to out1's spatial size (odd canvases)
         out2 = out2[:, :out1.shape[1], :out1.shape[2]]
         out3 = out3[:, :out1.shape[1], :out1.shape[2]]
