@@ -615,7 +615,8 @@ def test_full_trunk_loss_and_param_grads_parity(ref_encoders, ref_head_mod):
                            canvas, train=False)
         f = neck.apply({'params': prm['neck'],
                         'batch_stats': stats['neck']}, f, train=False)
-        cls, reg, dirp = head_convs.apply({'params': prm['bbox_head']}, f)
+        cls, reg, dirp, _packed = head_convs.apply(
+            {'params': prm['bbox_head']}, f)
         losses = head.loss(cls, reg, dirp, jnp.asarray(anchors), targets)
         return (losses['loss_cls'] + losses['loss_bbox']
                 + losses['loss_dir'], losses)
