@@ -117,6 +117,7 @@ def test_waymo_train_loop_with_eval(tmp_path):
             open(os.path.join(work_dir, 'train_log.jsonl'))]
     val = [r for r in recs if any(k.startswith('val/') for k in r)]
     assert val, recs
-    # waymo report schema: L-level mAP at 0.7 + overall mAP
-    assert 'val/mAP_L_0.7' in val[0], val[0]
-    assert np.isfinite(val[0]['val/mAP_L_0.7'])
+    # official waymo report schema: per-class L1/L2 AP/APH + means
+    assert 'val/mAP_L2' in val[0], val[0]
+    assert 'val/Car/L1/APH' in val[0], val[0]
+    assert np.isfinite(val[0]['val/mAP_L2'])
