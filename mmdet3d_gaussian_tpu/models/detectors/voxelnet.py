@@ -175,9 +175,15 @@ class PointPillarsNet(nn.Module):
                                        train=train)
                 coords_v = scatter.voxel_coords
             else:
+                # mask_slots=False: PillarFeatureNet multiplies its MLP
+                # input by the slot mask (fmask), so invalid slots are
+                # EXACTLY zero downstream regardless of table contents —
+                # identical values, one fewer full pass over the tile-
+                # padded (V, P, C) table
                 hv = hard_voxelize(flat, coords_hv, spatial_hv,
                                    self.max_points_per_voxel, max_voxels,
-                                   key_order=key_order_hv)
+                                   key_order=key_order_hv,
+                                   mask_slots=False)
                 coords_v = hv.coords
                 if use_wf:
                     # reconstruct (b, ix, iy, iz=0) rows for the encoder's

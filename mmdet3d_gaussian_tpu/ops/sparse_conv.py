@@ -69,9 +69,30 @@ def make_sparse_tensor(feats, coords, spatial_shape) -> SparseTensor:
                         num_voxels=jnp.sum(valid).astype(jnp.int32))
 
 
+# Largest dense key->row map _lookup will build, in grid cells (int32
+# elements).  Level-0 PV-RCNN at KITTI is 2*41*1600*1408 ~= 185M (740 MB
+# transient — int32, freed after the conv's gathers).
+DENSE_LOOKUP_MAX = 300_000_000
+
+
 def _lookup(st: SparseTensor, query_keys):
-    """query keys -> row index in st (or V = miss)."""
+    """query keys -> row index in st (or V = miss).
+
+    Fast path: scatter the (few) live rows into a dense (B*Z*Y*X + 1,)
+    row map once and answer all queries with one element gather —
+    ``jnp.searchsorted`` lowers to a SERIALIZED while loop on TPU,
+    measured 86 ms per call at PV-RCNN scale (32k keys x 864k queries; x13
+    convs that was most of the 2.2 s step).  Grids beyond
+    ``DENSE_LOOKUP_MAX`` cells fall back to the binary search."""
     v = st.keys.shape[0]
+    total = int(np.prod(st.spatial_shape))
+    if total <= DENSE_LOOKUP_MAX:
+        flat = jnp.full((total + 1,), v, jnp.int32)
+        idx = jnp.where(st.valid, st.keys, total)
+        flat = flat.at[idx].set(jnp.arange(v, dtype=jnp.int32))
+        q = jnp.where(query_keys < INT_MAX,
+                      jnp.clip(query_keys, 0, total), total)
+        return flat[q]
     pos = jnp.searchsorted(st.keys, query_keys)
     pos = jnp.clip(pos, 0, v - 1)
     hit = (st.keys[pos] == query_keys) & (query_keys < INT_MAX)

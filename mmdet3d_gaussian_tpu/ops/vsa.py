@@ -69,9 +69,19 @@ def ball_query(radius: float, nsample: int, support_xyz, query_xyz,
     # STRICT inequality like the kernel (ball_query.cu:58 `d2 < radius2`)
     in_ball = (d2 < radius * radius) & support_mask[None, :]    # (M, N)
 
-    # first nsample hits by ascending support index
+    # First nsample hits by ascending support index — K rounds of
+    # row-vectorized min + knockout.  NOT lax.top_k: under vmap it pair-
+    # sorts every (N,) row (bitonic, ~log^2 N passes over the (M, N)
+    # matrix — ~75 ms per call at M=2048, N=32k on v5e); K min-reduce
+    # passes are ~5x cheaper at the nsample<=32 this op is used with.
     rank = jnp.where(in_ball, jnp.arange(n, dtype=jnp.int32)[None, :], n)
-    neg_sorted = -jax.lax.top_k(-rank, nsample)[0]              # (M, K) asc
+    cols = []
+    r = rank
+    for _ in range(nsample):
+        nxt = jnp.min(r, axis=1)                                # (M,)
+        cols.append(nxt)
+        r = jnp.where(r <= nxt[:, None], n, r)
+    neg_sorted = jnp.stack(cols, axis=1)                        # (M, K) asc
     has = neg_sorted < n
     first_hit = neg_sorted[:, 0:1]
     idx = jnp.where(has, neg_sorted, first_hit)

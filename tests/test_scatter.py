@@ -242,3 +242,37 @@ def test_sorted_view_matches_unsorted():
     g_s = jax.grad(lambda x: jnp.sum(sv.reduce(x, 'max') ** 2))(fs)
     np.testing.assert_allclose(np.asarray(g_s), np.asarray(g)[order],
                                rtol=1e-6, atol=1e-6)
+
+
+def test_hard_voxelize_mask_slots_equivalence_through_pfn():
+    """mask_slots=False leaves neighbor rows in invalid slots; the hard
+    PFN's fmask multiply zeroes them before the MLP, so encoder outputs
+    are IDENTICAL (the detector's packed path relies on this)."""
+    import jax
+    import jax.numpy as jnp
+    from mmdet3d_gaussian_tpu.models.voxel_encoders import PillarFeatureNet
+    from mmdet3d_gaussian_tpu.ops.voxelize import hard_voxelize
+
+    rng = np.random.RandomState(0)
+    n = 2000
+    pts = np.c_[rng.uniform(0, 20, (n, 1)), rng.uniform(-10, 10, (n, 1)),
+                rng.uniform(-2, 0, (n, 1)), rng.rand(n, 1)].astype(
+                    np.float32)
+    coords = np.stack([
+        np.zeros(n, np.int32),
+        (pts[:, 0] // 0.5).astype(np.int32),
+        ((pts[:, 1] + 10) // 0.5).astype(np.int32),
+        np.zeros(n, np.int32)], -1)
+    enc = PillarFeatureNet(in_channels=4, feat_channels=(16,),
+                           voxel_size=(0.5, 0.5, 4.0),
+                           point_cloud_range=(0, -10, -2, 20, 10, 2))
+
+    outs = []
+    for mask_slots in (True, False):
+        hv = hard_voxelize(jnp.asarray(pts), jnp.asarray(coords),
+                           (1, 40, 40, 1), 8, 256, mask_slots=mask_slots)
+        v = enc.init(jax.random.PRNGKey(0), hv.voxels, hv.coords,
+                     hv.num_points)
+        outs.append(np.asarray(enc.apply(v, hv.voxels, hv.coords,
+                                         hv.num_points, train=False)))
+    np.testing.assert_array_equal(outs[0], outs[1])
